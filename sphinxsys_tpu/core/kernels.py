@@ -1,0 +1,187 @@
+"""Smoothing kernels.
+
+TPU-native counterpart of the reference kernel library
+(/root/reference/src/shared/kernels/base_kernel.h:56-154 and the concrete
+kernels under src/shared/kernels/).  Each kernel is a small frozen dataclass
+of static floats; ``w(q)``/``dw(q)`` are pure jnp functions of the
+normalized distance q = r/h, so they trace into fused VPU code inside any
+interaction kernel — values are recomputed on the fly from positions, like
+the reference CK stack (shared_ck/body_relation/neighbor_method.h:53-116),
+instead of being stored per pair.
+
+Conventions (match the reference):
+  * ``h`` is the smoothing length; support radius = ``kernel_size * h``
+    (2h for all kernels here).
+  * ``W(r)``  has units 1/len^dim; ``dW(r)`` = dW/dr (negative).
+  * dimensional normalization factors follow
+    src/shared/kernels/kernel_wendland_c2.cpp:9-14 etc.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax.numpy as jnp
+
+_PI = math.pi
+
+
+@dataclasses.dataclass(frozen=True)
+class SmoothingKernel:
+    """Base smoothing kernel. Subclasses define _w/_dw/_d2w of q and factors."""
+
+    h: float
+    kernel_size: float = 2.0  # support = kernel_size * h
+
+    # ---- shape functions of q = r/h (override) -------------------------
+    def _w(self, q):
+        raise NotImplementedError
+
+    def _dw(self, q):
+        raise NotImplementedError
+
+    def _d2w(self, q):
+        raise NotImplementedError
+
+    # ---- normalization (override) --------------------------------------
+    def _factor_w(self, dim: int) -> float:
+        raise NotImplementedError
+
+    # ---- public API -----------------------------------------------------
+    @property
+    def cutoff(self) -> float:
+        return self.kernel_size * self.h
+
+    def w0(self, dim: int) -> float:
+        """W at r=0 (a static python float, safe to call inside jit)."""
+        import jax
+
+        with jax.ensure_compile_time_eval():
+            return self._factor_w(dim) * float(self._w(jnp.asarray(0.0)))
+
+    def W(self, r, dim: int):
+        """Kernel value; zero outside support."""
+        q = r / self.h
+        inside = q < self.kernel_size
+        return jnp.where(inside, self._factor_w(dim) * self._w(jnp.minimum(q, self.kernel_size)), 0.0)
+
+    def dW(self, r, dim: int):
+        """Radial derivative dW/dr; zero outside support."""
+        q = r / self.h
+        inside = q < self.kernel_size
+        factor = self._factor_w(dim) / self.h
+        return jnp.where(inside, factor * self._dw(jnp.minimum(q, self.kernel_size)), 0.0)
+
+    def d2W(self, r, dim: int):
+        q = r / self.h
+        inside = q < self.kernel_size
+        factor = self._factor_w(dim) / (self.h * self.h)
+        return jnp.where(inside, factor * self._d2w(jnp.minimum(q, self.kernel_size)), 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class WendlandC2(SmoothingKernel):
+    """Wendland C2 kernel — the reference default
+    (src/shared/kernels/kernel_wendland_c2.cpp)."""
+
+    def _w(self, q):
+        return (1.0 - 0.5 * q) ** 4 * (1.0 + 2.0 * q)
+
+    def _dw(self, q):
+        return 0.625 * (q - 2.0) ** 3 * q
+
+    def _d2w(self, q):
+        return 1.25 * (q - 2.0) ** 2 * (2.0 * q - 1.0)
+
+    def _factor_w(self, dim: int) -> float:
+        h = self.h
+        if dim == 1:
+            return 3.0 / (4.0 * h)
+        if dim == 2:
+            return 7.0 / (4.0 * _PI * h * h)
+        if dim == 3:
+            return 21.0 / (16.0 * _PI * h * h * h)
+        raise ValueError(f"dim must be 1/2/3, got {dim}")
+
+
+@dataclasses.dataclass(frozen=True)
+class CubicBSpline(SmoothingKernel):
+    """Cubic B-spline kernel (src/shared/kernels/kernel_cubic_B_spline.cpp)."""
+
+    def _w(self, q):
+        lo = 1.0 - 1.5 * q * q * (1.0 - 0.5 * q)
+        hi = (2.0 - q) ** 3 / 4.0
+        return jnp.where(q < 1.0, lo, hi)
+
+    def _dw(self, q):
+        lo = 2.25 * q * q - 3.0 * q
+        hi = -0.75 * (2.0 - q) ** 2
+        return jnp.where(q < 1.0, lo, hi)
+
+    def _d2w(self, q):
+        lo = 4.5 * q - 3.0
+        hi = 1.5 * (2.0 - q)
+        return jnp.where(q < 1.0, lo, hi)
+
+    def _factor_w(self, dim: int) -> float:
+        h = self.h
+        if dim == 1:
+            return 2.0 / (3.0 * h)
+        if dim == 2:
+            return 10.0 / (7.0 * _PI * h * h)
+        if dim == 3:
+            return 1.0 / (_PI * h * h * h)
+        raise ValueError(f"dim must be 1/2/3, got {dim}")
+
+
+@dataclasses.dataclass(frozen=True)
+class Quadratic(SmoothingKernel):
+    """Quadratic kernel (src/shared/kernels/kernel_quadratic.cpp).
+
+    Note: we use the consistent analytic derivative dw/dq = 15(q-2)/32 in
+    every dimension (the reference's dW_1D/2D branches are inconsistent
+    with its own W shape; its dW_3D matches the analytic form).  Also note
+    the reference's 1D/2D normalization factors do not integrate to one —
+    only the 3D kernel is properly normalized; we keep the same factors
+    for parity."""
+
+    def _w(self, q):
+        return 5.0 * (3.0 * q * q - 12.0 * q + 12.0) / 64.0
+
+    def _dw(self, q):
+        return 15.0 * (q - 2.0) / 32.0
+
+    def _d2w(self, q):
+        return 15.0 / 32.0 * jnp.ones_like(q)
+
+    def _factor_w(self, dim: int) -> float:
+        h = self.h
+        if dim == 1:
+            return 1.0 / (7.0 * h)
+        if dim == 2:
+            return 1.0 / (3.0 * _PI * h * h)
+        if dim == 3:
+            return 1.0 / (_PI * h * h * h)
+        raise ValueError(f"dim must be 1/2/3, got {dim}")
+
+
+def lattice_number_density(kernel: SmoothingKernel, spacing: float, dim: int) -> float:
+    """Reference number density sigma0 = sum of W over a regular lattice
+    within the cutoff (src/shared/adaptations/adaptation.cpp:26-60).
+    Static host-side value, safe to call inside jit."""
+    import jax
+    import numpy as np
+
+    cutoff = kernel.cutoff
+    depth = int(cutoff / spacing) + 1
+    rng = np.arange(-depth, depth + 1)
+    grids = np.meshgrid(*([rng] * dim), indexing="ij")
+    pts = np.stack([g.ravel() for g in grids], axis=-1) * spacing
+    dist = np.linalg.norm(pts, axis=-1)
+    inside = dist < cutoff
+    with jax.ensure_compile_time_eval():
+        w = np.asarray(kernel.W(jnp.asarray(dist[inside], dtype=jnp.float64
+                                            if jax.config.jax_enable_x64 else jnp.float32), dim))
+    return float(w.sum())

@@ -1,0 +1,281 @@
+"""Weakly-compressible SPH fluid dynamics (TPU-native).
+
+Counterpart of /root/reference/src/shared/particle_dynamics/fluid_dynamics/
+(the legacy stack) and shared_ck/particle_dynamics/fluid_dynamics (CK).
+Every op is a pure function: (states, neighbor lists, dt) -> new arrays.
+The reference's Dynamics1Level {initialization, interaction, update} POD
+kernels become three fused array stages inside one jitted function; the
+per-i scatter-free gather formulation replaces its i/j atomic writes.
+
+Scheme (dual half-step "Verlet" pressure/density relaxation,
+fluid_integration.hpp):
+
+  1st half (pressure relaxation), dt = acoustic dt:
+    init:     rho += drho_dt * dt/2 ; p = EoS(rho) ; x += v * dt/2
+    interact: F_i = -V_i * sum_j (p_i + p_j) dW_ij V_j e_ij
+              drho_dt_i = rho_i * sum_j UJump(p_i - p_j) dW_ij V_j
+              (+ wall terms with p reconstructed in the wall,
+               fluid_integration.hpp:89-113)
+    update:   v += (F + F_prior) / m * dt
+
+  2nd half (density relaxation):
+    init:     x += v * dt/2
+    interact: drho_dt_i += rho_i * sum_j (v_i - v_j).e_ij dW_ij V_j
+              F_i = V_i * sum_j PJump(u_jump) dW_ij V_j e_ij
+              (+ wall terms with mirrored wall velocity,
+               fluid_integration.hpp:205-231)
+    update:   rho += drho_dt * dt/2
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from sphinxsys_tpu.core.state import State
+from sphinxsys_tpu.neighbors.neighbor_list import NeighborList, gather
+from sphinxsys_tpu.physics.pair import pair_geometry
+
+TINY = 1.0e-15
+
+
+# ---------------------------------------------------------------------------
+# Density by summation (density_summation.cpp)
+# ---------------------------------------------------------------------------
+
+def density_summation(fluid: State, nl_inner: NeighborList, kernel, dim: int,
+                      rho0: float, sigma0: float,
+                      contacts: Sequence[tuple] = (),
+                      free_surface: bool = True) -> State:
+    """DensitySummationComplex(FreeSurface): inner + contact summation, then
+    rho update.  `contacts` is a sequence of (contact_state, nl_contact,
+    contact_rho0) for wall/solid bodies seen as contact.
+
+    inner:   sigma = W0 + sum W_ij ;  rho_sum = sigma * rho0 / sigma0
+    contact: rho_sum += [sum W_ik m_k / rho0_k] * rho0^2 / sigma0 / m_i
+    update:  free surface: rho = max(rho_sum, rho0)  (density_summation.hpp:29-32)
+             otherwise:    rho = rho_sum ; Vol = m / rho
+    """
+    pos = fluid["Position"]
+    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_dW=False)
+    w0 = kernel.w0(dim)
+    sigma = w0 + jnp.sum(pg.W, axis=1)
+    rho_sum = sigma * rho0 / sigma0
+
+    for c_state, nl_c, c_rho0 in contacts:
+        pgc = pair_geometry(pos, c_state["Position"], nl_c, kernel, dim, need_dW=False)
+        mass_k, _ = gather(c_state["Mass"], nl_c.idx)
+        sigma_c = jnp.sum(pgc.W * mass_k / c_rho0, axis=1)
+        rho_sum = rho_sum + sigma_c * rho0 * rho0 / sigma0 / fluid["Mass"]
+
+    out = dict(fluid)
+    out["DensitySummation"] = rho_sum
+    if free_surface:
+        out["Density"] = jnp.maximum(rho_sum, rho0)
+    else:
+        out["Density"] = rho_sum
+        out["VolumetricMeasure"] = fluid["Mass"] / rho_sum
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Acoustic step, 1st half — pressure relaxation (fluid_integration.hpp:50-113)
+# ---------------------------------------------------------------------------
+
+def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: int,
+                           eos, riemann, dt,
+                           wall: State | None = None,
+                           nl_wall: NeighborList | None = None,
+                           wall_riemann=None) -> State:
+    out = dict(fluid)
+    # --- initialization -----------------------------------------------
+    rho = fluid["Density"] + fluid["DensityChangeRate"] * (0.5 * dt)
+    p = eos.pressure(rho)
+    pos = fluid["Position"] + fluid["Velocity"] * (0.5 * dt)
+    vol = fluid["VolumetricMeasure"]
+
+    # --- interaction: inner ---------------------------------------------
+    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False)
+    p_j, _ = gather(p, nl_inner.idx)
+    vol_j, _ = gather(vol, nl_inner.idx)
+    dWV = pg.dW * vol_j
+    force = -jnp.sum((p[:, None] + p_j)[..., None] * dWV[..., None] * pg.e, axis=1)
+    rho_dissipation = jnp.sum(riemann.dissipative_u_jump(p[:, None] - p_j) * dWV, axis=1)
+
+    drho_dt = rho_dissipation * rho
+    force_total = fluid["Force"] + force * vol[:, None]
+
+    # --- interaction: wall contact (hpp:89-113) --------------------------
+    if wall is not None:
+        wr = wall_riemann or riemann
+        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim, need_W=False)
+        wall_vol, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
+        wall_acc_ave, _ = gather(wall["AverageAcceleration"], nl_wall.idx)
+        dWV_w = pgw.dW * wall_vol
+        acc_prior = fluid["ForcePrior"] / fluid["Mass"][:, None]
+        # pressure reconstructed in the wall from the hydrostatic projection
+        face_acc = jnp.sum((acc_prior[:, None, :] - wall_acc_ave) * (-pgw.e), axis=-1)
+        p_in_wall = p[:, None] + rho[:, None] * pgw.r * jnp.maximum(face_acc, 0.0)
+        force_w = -jnp.sum((p[:, None] + p_in_wall)[..., None] * dWV_w[..., None] * pgw.e, axis=1)
+        rho_diss_w = jnp.sum(wr.dissipative_u_jump(p[:, None] - p_in_wall) * dWV_w, axis=1)
+        force_total = force_total + force_w * vol[:, None]
+        drho_dt = drho_dt + rho_diss_w * rho
+
+    # --- update -----------------------------------------------------------
+    vel = fluid["Velocity"] + (fluid["ForcePrior"] + force_total) / fluid["Mass"][:, None] * dt
+
+    out.update({
+        "Density": rho, "Pressure": p, "Position": pos,
+        "Force": force_total, "DensityChangeRate": drho_dt, "Velocity": vel,
+    })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Acoustic step, 2nd half — density relaxation (fluid_integration.hpp:159-231)
+# ---------------------------------------------------------------------------
+
+def acoustic_step_2nd_half(fluid: State, nl_inner: NeighborList, kernel, dim: int,
+                           riemann, dt,
+                           wall: State | None = None,
+                           nl_wall: NeighborList | None = None,
+                           wall_riemann=None) -> State:
+    out = dict(fluid)
+    # --- initialization ---------------------------------------------------
+    pos = fluid["Position"] + fluid["Velocity"] * (0.5 * dt)
+    vel = fluid["Velocity"]
+    rho = fluid["Density"]
+    vol = fluid["VolumetricMeasure"]
+
+    # --- interaction: inner -------------------------------------------------
+    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False)
+    vel_j, _ = gather(vel, nl_inner.idx)
+    vol_j, _ = gather(vol, nl_inner.idx)
+    dWV = pg.dW * vol_j
+    u_jump = jnp.sum((vel[:, None, :] - vel_j) * pg.e, axis=-1)
+    density_change_rate = jnp.sum(u_jump * dWV, axis=1)
+    p_dissipation = jnp.sum((riemann.dissipative_p_jump(u_jump) * dWV)[..., None] * pg.e, axis=1)
+
+    drho_dt = fluid["DensityChangeRate"] + density_change_rate * rho
+    force = p_dissipation * vol[:, None]  # assignment, not += (hpp:195)
+
+    # --- interaction: wall (hpp:205-231) ------------------------------------
+    if wall is not None:
+        wr = wall_riemann or riemann
+        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim, need_W=False)
+        wall_vol, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
+        vel_ave_k, _ = gather(wall["AverageVelocity"], nl_wall.idx)
+        n_k, _ = gather(wall["NormalDirection"], nl_wall.idx)
+        dWV_w = pgw.dW * wall_vol
+        e_dot_n = jnp.sum(pgw.e * n_k, axis=-1)
+        face_to_fluid_n = jnp.sign(e_dot_n)[..., None] * n_k
+        vel_in_wall = 2.0 * vel_ave_k - vel[:, None, :]
+        dcr_w = jnp.sum(jnp.sum((vel[:, None, :] - vel_in_wall) * pgw.e, axis=-1) * dWV_w, axis=1)
+        u_jump_w = 2.0 * jnp.sum((vel[:, None, :] - vel_ave_k) * face_to_fluid_n, axis=-1)
+        p_diss_w = jnp.sum((wr.dissipative_p_jump(u_jump_w) * dWV_w)[..., None] * face_to_fluid_n, axis=1)
+        drho_dt = drho_dt + dcr_w * rho
+        force = force + p_diss_w * vol[:, None]
+
+    # --- update --------------------------------------------------------------
+    rho_new = rho + drho_dt * (0.5 * dt)
+
+    out.update({
+        "Position": pos, "DensityChangeRate": drho_dt,
+        "Force": force, "Density": rho_new,
+    })
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Time-step criteria (fluid_time_step.cpp)
+# ---------------------------------------------------------------------------
+
+def acoustic_time_step(fluid: State, eos, h_min: float, cfl: float = 0.6):
+    """dt = CFL * h / max(c + |v|)  (fluid_time_step.cpp:21-32)."""
+    c = eos.sound_speed(fluid["Pressure"], fluid["Density"])
+    speed = jnp.linalg.norm(fluid["Velocity"], axis=-1)
+    n = fluid["Position"].shape[0]
+    valid = jnp.arange(n) < fluid["NReal"]
+    reduced = jnp.max(jnp.where(valid, c + speed, 0.0))
+    return cfl * h_min / (reduced + TINY)
+
+
+def advection_time_step(fluid: State, h_min: float, speed_ref: float,
+                        cfl: float = 0.25):
+    """dt = CFL * h / max(speed_max, U_ref), with the acceleration scale
+    folded into speed_max (fluid_time_step.cpp:44-66)."""
+    n = fluid["Position"].shape[0]
+    valid = jnp.arange(n) < fluid["NReal"]
+    accel_scale = 4.0 * h_min * jnp.linalg.norm(
+        fluid["Force"] + fluid["ForcePrior"], axis=-1) / fluid["Mass"]
+    v2 = jnp.sum(fluid["Velocity"] ** 2, axis=-1)
+    reduced = jnp.max(jnp.where(valid, jnp.maximum(v2, accel_scale), 0.0))
+    speed_max = jnp.sqrt(reduced)
+    return cfl * h_min / (jnp.maximum(speed_max, speed_ref) + TINY)
+
+
+def advection_viscous_time_step(fluid: State, h_min: float, speed_ref: float,
+                                rho0: float, mu: float, cfl: float = 0.25):
+    """AdvectionViscousTimeStep: fold the viscous diffusion speed into U_ref."""
+    viscous_speed = mu / rho0 / h_min
+    return advection_time_step(fluid, h_min, max(viscous_speed, speed_ref), cfl)
+
+
+# ---------------------------------------------------------------------------
+# Viscous force (viscous_dynamics.hpp, Newtonian inner + wall)
+# ---------------------------------------------------------------------------
+
+def viscous_force(fluid: State, nl_inner: NeighborList, kernel, dim: int,
+                  mu: float, smoothing_length: float,
+                  wall: State | None = None, nl_wall: NeighborList | None = None) -> State:
+    """F_i += 2 mu V_i sum_j (v_i - v_j) / (r_ij + 0.01 h) dW_ij V_j
+    (legacy ViscousForce<Inner<>>, viscous_dynamics.hpp; wall variant
+    doubles the jump against the averaged wall velocity).  Accumulated
+    into ForcePrior via force_prior update."""
+    pos, vel, vol = fluid["Position"], fluid["Velocity"], fluid["VolumetricMeasure"]
+    eps_r = 0.01 * smoothing_length
+
+    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False)
+    vel_j, _ = gather(vel, nl_inner.idx)
+    vol_j, _ = gather(vol, nl_inner.idx)
+    vderiv = (vel[:, None, :] - vel_j) / (pg.r + eps_r)[..., None]
+    force = 2.0 * mu * jnp.sum(vderiv * (pg.dW * vol_j)[..., None], axis=1)
+
+    if wall is not None:
+        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim, need_W=False)
+        wall_vol, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
+        vel_ave_k, _ = gather(wall["AverageVelocity"], nl_wall.idx)
+        vderiv_w = 2.0 * (vel[:, None, :] - vel_ave_k) / (pgw.r + eps_r)[..., None]
+        force = force + 2.0 * mu * jnp.sum(vderiv_w * (pgw.dW * wall_vol)[..., None], axis=1)
+
+    out = dict(fluid)
+    out["ViscousForce"] = force * vol[:, None]
+    out["ForcePrior"] = fluid["ForcePrior"] + out["ViscousForce"] - fluid.get(
+        "ViscousForcePrev", jnp.zeros_like(force))
+    out["ViscousForcePrev"] = out["ViscousForce"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Transport-velocity correction (transport_velocity_correction.h)
+# ---------------------------------------------------------------------------
+
+def transport_velocity_correction(fluid: State, nl_inner: NeighborList, kernel,
+                                  dim: int, h_ref: float, coefficient: float = 0.2,
+                                  wall: State | None = None,
+                                  nl_wall: NeighborList | None = None) -> State:
+    """Shift positions down background-pressure gradients to keep particle
+    distributions uniform: dr_i = -coef * h^2 * sum_j dW_ij V_j e_ij
+    (TransportVelocityCorrection, zeroth-order consistent variant)."""
+    pos, vol = fluid["Position"], fluid["VolumetricMeasure"]
+    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False)
+    vol_j, _ = gather(vol, nl_inner.idx)
+    inconsistency = jnp.sum((pg.dW * vol_j)[..., None] * pg.e, axis=1)
+    if wall is not None:
+        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim, need_W=False)
+        wall_vol, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
+        inconsistency = inconsistency + jnp.sum((pgw.dW * wall_vol)[..., None] * pgw.e, axis=1)
+    out = dict(fluid)
+    out["Position"] = pos - coefficient * h_ref * h_ref * inconsistency
+    return out

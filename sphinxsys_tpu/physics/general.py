@@ -1,0 +1,75 @@
+"""General dynamics: external forces, reductions, geometric ops.
+
+Counterpart of /root/reference/src/shared/particle_dynamics/general_dynamics/
+(GravityForce external_force/, reductions general_reduce.h:46-215,
+NormalDirectionFromBodyShape general_geometric.cpp:18-26).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from sphinxsys_tpu.core.state import State, valid_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class Gravity:
+    """Constant gravity field (external_force.h class Gravity)."""
+
+    acceleration: Tuple[float, ...]
+    zero_potential_reference: Tuple[float, ...] | None = None
+
+    def induced_acceleration(self, pos=None):
+        return jnp.asarray(self.acceleration)
+
+    def potential(self, pos):
+        g = jnp.asarray(self.acceleration, dtype=pos.dtype)
+        ref = jnp.zeros_like(g) if self.zero_potential_reference is None \
+            else jnp.asarray(self.zero_potential_reference, dtype=pos.dtype)
+        return (ref - pos) @ g
+
+
+def gravity_force(state: State, gravity: Gravity) -> State:
+    """SimpleDynamics<GravityForce<Gravity>>: ForcePrior = m * g."""
+    out = dict(state)
+    g = gravity.induced_acceleration().astype(state["Position"].dtype)
+    out["ForcePrior"] = state["Mass"][:, None] * g[None, :]
+    return out
+
+
+def total_kinetic_energy(state: State):
+    """ReduceDynamics<TotalKineticEnergy> (general_reduce.cpp:54-64)."""
+    ke = 0.5 * state["Mass"] * jnp.sum(state["Velocity"] ** 2, axis=-1)
+    return jnp.sum(jnp.where(valid_mask(state), ke, 0.0))
+
+
+def total_mechanical_energy(state: State, gravity: Gravity):
+    """ReduceDynamics<TotalMechanicalEnergy> (general_reduce.cpp:67-78):
+    sum of 0.5 m v^2 + m * potential(pos)."""
+    ke = 0.5 * state["Mass"] * jnp.sum(state["Velocity"] ** 2, axis=-1)
+    pe = state["Mass"] * gravity.potential(state["Position"])
+    return jnp.sum(jnp.where(valid_mask(state), ke + pe, 0.0))
+
+
+def velocity_bound_check(state: State, velocity_bound: float):
+    """ReduceOR VelocityBoundCheck (general_reduce.h:64)."""
+    v2 = jnp.sum(state["Velocity"] ** 2, axis=-1)
+    return jnp.any(jnp.where(valid_mask(state), v2 > velocity_bound**2, False))
+
+
+def normal_direction_from_shape(state: State, shape) -> State:
+    """SimpleDynamics<NormalDirectionFromBodyShape>
+    (general_geometric.cpp:18-26): store the shape normal and signed
+    distance at each particle."""
+    out = dict(state)
+    pos = state["Position"]
+    n = shape.find_normal_direction(pos)
+    phi = shape.signed_distance(pos)
+    out["NormalDirection"] = n
+    out["InitialNormalDirection"] = n
+    out["SignedDistance"] = phi
+    out["InitialSignedDistance"] = phi
+    return out

@@ -1,0 +1,70 @@
+"""Shape / CSG / lattice-generator tests (counterpart of the geometry
+contain/distance unit tests in the reference tests/unit_tests_src)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sphinxsys_tpu.core import geometry as G
+from sphinxsys_tpu.core.generators import generate_lattice
+
+
+def test_box_contains_and_sdf():
+    box = G.Box(G.Transform(translation=(1.0, 2.0)), halfsize=(1.0, 0.5))
+    pts = jnp.asarray([[1.0, 2.0], [2.5, 2.0], [1.9, 2.4], [1.0, 2.6]])
+    inside = np.asarray(box.contains(pts))
+    assert list(inside) == [True, False, True, False]
+    sd = np.asarray(box.signed_distance(pts))
+    np.testing.assert_allclose(sd[0], -0.5, atol=1e-6)
+    np.testing.assert_allclose(sd[1], 0.5, atol=1e-6)
+
+
+def test_box_normal_direction():
+    box = G.Box(G.Transform(translation=(0.0, 0.0)), halfsize=(1.0, 1.0))
+    # inside point near the right face: outward normal = +x
+    n = np.asarray(box.find_normal_direction(jnp.asarray([[0.9, 0.0]])))
+    np.testing.assert_allclose(n, [[1.0, 0.0]], atol=1e-6)
+
+
+def test_ball():
+    ball = G.Ball(center=(0.0, 0.0, 0.0), radius=2.0)
+    sd = float(ball.signed_distance(jnp.asarray([1.0, 0.0, 0.0])))
+    assert abs(sd + 1.0) < 1e-6
+
+
+def test_complex_shape_dambreak_wall():
+    """The dambreak wall: outer box minus inner box (Dambreak.cpp:39-47)."""
+    DL, DH, BW = 5.366, 5.366, 0.1
+    outer = G.Box(G.Transform(translation=(DL / 2, DH / 2)),
+                  halfsize=(DL / 2 + BW, DH / 2 + BW))
+    inner = G.Box(G.Transform(translation=(DL / 2, DH / 2)),
+                  halfsize=(DL / 2, DH / 2))
+    wall = G.make_complex(("add", outer), ("sub", inner))
+    pts = jnp.asarray([
+        [-BW / 2, DH / 2],   # in the left wall band
+        [DL / 2, DH / 2],    # middle of the tank: not wall
+        [DL / 2, -BW / 2],   # floor band
+        [-2 * BW, DH / 2],   # outside everything
+    ])
+    inside = np.asarray(wall.contains(pts))
+    assert list(inside) == [True, False, True, False]
+
+
+def test_polygon():
+    tri = G.Polygon(vertices=((0.0, 0.0), (2.0, 0.0), (0.0, 2.0)))
+    pts = jnp.asarray([[0.5, 0.5], [1.5, 1.5], [0.1, 0.1]])
+    inside = np.asarray(tri.contains(pts))
+    assert list(inside) == [True, False, True]
+    sd = float(tri.signed_distance(jnp.asarray([0.5, -0.5])))
+    assert abs(sd - 0.5) < 1e-6
+
+
+def test_lattice_generator_counts():
+    """Particle count for a box fill matches area/dx^2 (lattice generator,
+    particle_generator_lattice_2d.cpp:12-24)."""
+    dx = 0.05
+    box = G.Box(G.Transform(translation=(1.0, 0.5)), halfsize=(1.0, 0.5))
+    pos, vol = generate_lattice(box, (0.0, 0.0), (2.0, 1.0), dx)
+    assert vol == dx * dx
+    expected = round(2.0 / dx) * round(1.0 / dx)
+    assert abs(len(pos) - expected) <= 0.02 * expected
+    assert pos.min() > 0.0 and pos[:, 0].max() < 2.0
