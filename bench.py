@@ -1,0 +1,85 @@
+"""Benchmark: 2D dambreak throughput in pairwise interaction-updates/sec.
+
+Metric: every acoustic sub-step sweeps all fluid-fluid + fluid-wall pairs
+twice (pressure + density relaxation); density summation adds one sweep per
+advection step.  interaction-updates/sec = that pair count / wall time.
+North star (BASELINE.md): >= 1e9 sustained on one TPU chip, so
+vs_baseline = value / 1e9.
+
+Env knobs: BENCH_DX (default 0.005 -> ~80k fluid particles),
+BENCH_STEPS (timed advection steps), BENCH_PLATFORM (force e.g. cpu).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    platform = os.environ.get("BENCH_PLATFORM")
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sphinxsys_tpu.cases import dambreak_2d as db
+
+    dx = float(os.environ.get("BENCH_DX", "0.005"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "40"))
+
+    case, fluid = db.build_case(dx=dx, cell_cap=24, k_inner=64, k_wall=40)
+    sim = db.init_sim(case, fluid)
+    step = db.make_advection_step(case)
+
+    # advance a bit so the flow is moving (realistic neighbor churn)
+    sim = step(sim)
+    jax.block_until_ready(sim.fluid["Position"])
+    for _ in range(4):
+        sim = step(sim)
+    jax.block_until_ready(sim.fluid["Position"])
+
+    n_adv0, n_ac0 = int(sim.n_adv), int(sim.n_ac)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        sim = step(sim)
+    jax.block_until_ready(sim.fluid["Position"])
+    elapsed = time.perf_counter() - t0
+
+    n_adv = int(sim.n_adv) - n_adv0
+    n_ac = int(sim.n_ac) - n_ac0
+    pairs_inner = int(jnp.sum(sim.nl_inner.count))
+    pairs_wall = int(jnp.sum(sim.nl_wall.count))
+    pairs = pairs_inner + pairs_wall
+    # 2 pair sweeps per acoustic step + 1 density-summation sweep per advection step
+    updates = (2 * n_ac + n_adv) * pairs
+    rate = updates / elapsed
+
+    assert not bool(sim.overflow), "neighbor capacity overflow during bench"
+
+    result = {
+        "metric": "pair_interaction_updates_per_sec",
+        "value": rate,
+        "unit": "1/s",
+        "vs_baseline": rate / 1.0e9,
+        "detail": {
+            "case": "dambreak_2d",
+            "dx": dx,
+            "n_fluid": case.n_fluid,
+            "n_wall": case.n_wall,
+            "advection_steps": n_adv,
+            "acoustic_steps": n_ac,
+            "pairs_per_sweep": pairs,
+            "elapsed_s": elapsed,
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

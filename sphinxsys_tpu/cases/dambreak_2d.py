@@ -90,8 +90,10 @@ class DambreakCase:
 
 
 def build_case(dx: float = 0.025, dtype=jnp.float32,
-               cell_cap: int = 24, k_inner: int = 64, k_wall: int = 40) -> tuple:
-    """Build the scene. Returns (case, fluid_state)."""
+               cell_cap: int = 24, k_inner: int = 64, k_wall: int = 40,
+               capacity_multiple: int = 1) -> tuple:
+    """Build the scene. Returns (case, fluid_state).  `capacity_multiple`
+    pads particle capacities (for sharding over a device mesh)."""
     BW = 4 * dx
     adaptation = SPHAdaptation(spacing=dx, dim=2)
 
@@ -104,8 +106,13 @@ def build_case(dx: float = 0.025, dtype=jnp.float32,
     pos_f, vol = generate_lattice(water_shape, dom_lo, dom_hi, dx)
     pos_w, _ = generate_lattice(wall_shape, dom_lo, dom_hi, dx)
 
-    fluid = make_fluid_state(pos_f, vol, RHO0_F, dtype=dtype)
-    wall = make_solid_state(pos_w, vol, RHO0_F, dtype=dtype)
+    def _round_up(n, m):
+        return ((n + m - 1) // m) * m
+
+    fluid = make_fluid_state(pos_f, vol, RHO0_F, dtype=dtype,
+                             capacity=_round_up(len(pos_f), capacity_multiple))
+    wall = make_solid_state(pos_w, vol, RHO0_F, dtype=dtype,
+                            capacity=_round_up(len(pos_w), capacity_multiple))
     wall = gd.normal_direction_from_shape(wall, wall_shape)
 
     eos = WeaklyCompressibleFluid(rho0=RHO0_F, c0=C_F)
