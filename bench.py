@@ -33,19 +33,19 @@ def main() -> None:
 
     case, fluid = db.build_case(dx=dx, cell_cap=24, k_inner=64, k_wall=40)
     sim = db.init_sim(case, fluid)
-    step = db.make_advection_step(case)
+    run_chunk = db.make_run_chunk(case)
 
-    # advance a bit so the flow is moving (realistic neighbor churn)
-    sim = step(sim)
-    jax.block_until_ready(sim.fluid["Position"])
-    for _ in range(4):
-        sim = step(sim)
+    # warmup: compile + advance a bit so the flow is moving
+    dt_adv_est = 0.25 * case.adaptation.h / db.U_REF
+    warm_t = 5 * dt_adv_est
+    sim = run_chunk(sim, jnp.asarray(warm_t, sim.time.dtype))
     jax.block_until_ready(sim.fluid["Position"])
 
+    # timed: n_steps advection steps in ONE device dispatch
     n_adv0, n_ac0 = int(sim.n_adv), int(sim.n_ac)
+    t_target = sim.time + n_steps * dt_adv_est
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        sim = step(sim)
+    sim = run_chunk(sim, t_target)
     jax.block_until_ready(sim.fluid["Position"])
     elapsed = time.perf_counter() - t0
 

@@ -147,7 +147,7 @@ def rebuild_relations(case: DambreakCase, fluid: State):
 
 
 def init_sim(case: DambreakCase, fluid: State) -> SimState:
-    nl_inner, nl_wall = rebuild_relations(case, fluid)
+    nl_inner, nl_wall = jax.jit(partial(rebuild_relations, case))(fluid)
     zero = jnp.zeros((), jnp.float64 if fluid["Position"].dtype == jnp.float64 else jnp.float32)
     return SimState(fluid=fluid, nl_inner=nl_inner, nl_wall=nl_wall,
                     time=zero, n_adv=jnp.zeros((), jnp.int32),

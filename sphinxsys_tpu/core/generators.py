@@ -39,11 +39,13 @@ def generate_lattice(shape: Shape, domain_lower, domain_upper, spacing: float,
                      chunk: int = 1 << 20) -> Tuple[np.ndarray, float]:
     """Fill `shape` with lattice particles. Returns (positions (N,dim),
     particle volume = spacing^dim)."""
+    from sphinxsys_tpu.utils.hosteval import host_eval
+
     cand = lattice_positions(domain_lower, domain_upper, spacing)
     keep = []
     for start in range(0, len(cand), chunk):
         block = cand[start:start + chunk]
-        inside = np.asarray(shape.contains(jnp.asarray(block)))
+        inside = host_eval(shape.contains, jnp.asarray(block))
         keep.append(block[inside])
     pos = np.concatenate(keep, axis=0) if keep else np.zeros((0, cand.shape[1]))
     volume = float(spacing) ** cand.shape[1]

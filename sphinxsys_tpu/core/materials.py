@@ -110,7 +110,9 @@ class ElasticSolid(Solid):
     def sound_speed(self) -> float:
         """Reference sound speed used by the elastic acoustic dt
         (materials/elastic_solid.cpp setSoundSpeeds): c0 = sqrt(K/rho0)."""
-        return float(jnp.sqrt(self.bulk_modulus / self.rho0))
+        import math
+
+        return math.sqrt(self.bulk_modulus / self.rho0)
 
     def numerical_viscosity(self, smoothing_length: float) -> float:
         """Numerical damping coefficient used by the Kelvin-Voigt-type

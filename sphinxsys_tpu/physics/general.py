@@ -64,10 +64,15 @@ def normal_direction_from_shape(state: State, shape) -> State:
     """SimpleDynamics<NormalDirectionFromBodyShape>
     (general_geometric.cpp:18-26): store the shape normal and signed
     distance at each particle."""
+    from sphinxsys_tpu.utils.hosteval import host_eval
+
     out = dict(state)
     pos = state["Position"]
-    n = shape.find_normal_direction(pos)
-    phi = shape.signed_distance(pos)
+    dtype = pos.dtype
+    n, phi = host_eval(
+        lambda p: (shape.find_normal_direction(p), shape.signed_distance(p)), pos)
+    n = jnp.asarray(n, dtype)
+    phi = jnp.asarray(phi, dtype)
     out["NormalDirection"] = n
     out["InitialNormalDirection"] = n
     out["SignedDistance"] = phi

@@ -1,0 +1,193 @@
+"""Total-Lagrangian elastic solid dynamics (TPU-native).
+
+Counterpart of /root/reference/src/shared/particle_dynamics/solid_dynamics/
+elastic_dynamics.{h,cpp} and general_dynamics/kernel_correction.cpp.
+
+The solid pair topology lives on the INITIAL configuration: the inner
+relation is built once on the undeformed positions and never rebuilt —
+ideal for TPU (one static neighbor tensor, kernel values precomputed).
+`ReferencePairs` freezes dW_ij, e_ij, r_ij, W_ij of that configuration.
+
+Verlet scheme (elastic_dynamics.cpp):
+  1st half:
+    init:     x += v dt/2 ; F += dF/dt dt/2 ; rho = rho0/det(F)
+              S_i = StressPK1(F_i) B_i^T
+    interact: force_i = m_i/rho0 sum_j dW_ij V_j
+                  (S_i + S_j + factor (W_ij/W0) * 0.5 (F_i+F_j) pair_damping) e_ij
+              pair_damping = 0.5 rho0 c0 h * (dim/r_ij)^2 (x_i-x_j).(v_i-v_j)
+    update:   v += (F + F_prior)/m dt
+  2nd half:
+    init:     x += v dt/2
+    interact: dF/dt_i = -[sum_j (v_i - v_j) outer (dW_ij V_j e_ij)] B_i
+    update:   F += dF/dt dt/2
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from sphinxsys_tpu.core.state import State
+from sphinxsys_tpu.neighbors.neighbor_list import NeighborList, gather
+from sphinxsys_tpu.physics.pair import pair_geometry, PairGeometry
+
+TINY = 1.0e-15
+
+
+class ReferencePairs(NamedTuple):
+    """Frozen initial-configuration pair data for total-Lagrangian ops."""
+
+    idx: jnp.ndarray    # (N, K) neighbor indices (sentinel = N_src)
+    W: jnp.ndarray      # (N, K)
+    dW: jnp.ndarray     # (N, K)
+    r: jnp.ndarray      # (N, K)
+    e: jnp.ndarray      # (N, K, dim)  unit j -> i
+    mask: jnp.ndarray   # (N, K)
+
+
+def freeze_reference_pairs(pos0, nl: NeighborList, kernel, dim: int) -> ReferencePairs:
+    pg = pair_geometry(pos0, pos0, nl, kernel, dim)
+    return ReferencePairs(idx=nl.idx, W=pg.W, dW=pg.dW, r=pg.r, e=pg.e, mask=pg.mask)
+
+
+def linear_gradient_correction_matrix(rp: ReferencePairs, vol, alpha: float = 0.0,
+                                      eps: float = 1.0e-8):
+    """B matrix (kernel_correction.cpp LinearGradientCorrectionMatrix):
+    A_i = -sum_j r_ji outer gradW_ij V_j  with r_ji = r_ij e_ij;
+    B_i = w1 * tikhonov_inverse(A_i) + w2 * I   with determinant weighting."""
+    vol_j, _ = gather(vol, rp.idx)
+    grad = (rp.dW * vol_j)[..., None] * rp.e  # (N, K, dim)
+    r_ji = rp.r[..., None] * rp.e
+    A = -jnp.einsum("nki,nkj->nij", r_ji, grad)
+    det = jnp.linalg.det(A)
+    dim = A.shape[-1]
+    eye = jnp.eye(dim, dtype=A.dtype)
+    At = jnp.swapaxes(A, -1, -2)
+    inv = jnp.linalg.inv(At @ A + eps * eye) @ At  # inverseTikhonov
+    det_sqr = jnp.maximum(alpha - det, 0.0)
+    w1 = det / (det + det_sqr)
+    w2 = det_sqr / (det + det_sqr)
+    return w1[..., None, None] * inv + w2[..., None, None] * eye
+
+
+def integration_1st_half_pk2(solid: State, rp: ReferencePairs, material,
+                             dt, smoothing_length: float, w0: float,
+                             numerical_dissipation_factor: float = 0.25) -> State:
+    out = dict(solid)
+    dim = solid["Position"].shape[1]
+    rho0 = material.rho0
+    c0 = material.sound_speed
+
+    # --- initialization ---------------------------------------------------
+    pos = solid["Position"] + solid["Velocity"] * (0.5 * dt)
+    F = solid["DeformationGradient"] + solid["DeformationRate"] * (0.5 * dt)
+    rho = rho0 / jnp.linalg.det(F)
+    B = solid["LinearGradientCorrectionMatrix"]
+    S = material.stress_PK1(F) @ jnp.swapaxes(B, -1, -2)  # StressPK1OnParticle
+
+    # --- interaction -------------------------------------------------------
+    vel = solid["Velocity"]
+    vol = solid["VolumetricMeasure"]
+    vol_j, _ = gather(vol, rp.idx)
+    S_j, _ = gather(S, rp.idx)
+    F_j, _ = gather(F, rp.idx)
+    pos_j, _ = gather(pos, rp.idx)
+    vel_j, _ = gather(vel, rp.idx)
+
+    dim_over_r = dim / (rp.r + TINY)
+    strain_rate = dim_over_r * dim_over_r * jnp.sum(
+        (pos[:, None, :] - pos_j) * (vel[:, None, :] - vel_j), axis=-1)
+    pair_damping = 0.5 * rho0 * c0 * strain_rate * smoothing_length  # PairNumericalDamping
+    weight = rp.W / w0
+    stress_ij = (S[:, None, :, :] + S_j
+                 + (numerical_dissipation_factor * weight * pair_damping)[..., None, None]
+                 * 0.5 * (F[:, None, :, :] + F_j))
+    coeff = (rp.dW * vol_j * rp.mask)[..., None]
+    force = (solid["Mass"] / rho0)[:, None] * jnp.sum(
+        jnp.einsum("nkij,nkj->nki", stress_ij, rp.e) * coeff, axis=1)
+
+    # --- update -------------------------------------------------------------
+    vel = solid["Velocity"] + (solid["ForcePrior"] + force) / solid["Mass"][:, None] * dt
+
+    out.update({
+        "Position": pos, "DeformationGradient": F, "Density": rho,
+        "StressPK1OnParticle": S, "Force": force, "Velocity": vel,
+    })
+    return out
+
+
+def integration_2nd_half(solid: State, rp: ReferencePairs, dt) -> State:
+    out = dict(solid)
+    pos = solid["Position"] + solid["Velocity"] * (0.5 * dt)
+    vel = solid["Velocity"]
+    vol = solid["VolumetricMeasure"]
+    vol_j, _ = gather(vol, rp.idx)
+    vel_j, _ = gather(vel, rp.idx)
+    grad = (rp.dW * vol_j * rp.mask)[..., None] * rp.e  # (N,K,dim)
+    dvel = vel[:, None, :] - vel_j
+    dF_dt_raw = -jnp.einsum("nki,nkj->nij", dvel, grad)
+    dF_dt = dF_dt_raw @ solid["LinearGradientCorrectionMatrix"]
+    F = solid["DeformationGradient"] + dF_dt * (0.5 * dt)
+    out.update({"Position": pos, "DeformationRate": dF_dt, "DeformationGradient": F})
+    return out
+
+
+def deformation_gradient_by_summation(solid: State, rp: ReferencePairs) -> State:
+    """F_i = [-sum_j (x_i - x_j) outer gradW_ij V_j] B_i
+    (elastic_dynamics.h:107-122)."""
+    out = dict(solid)
+    pos = solid["Position"]
+    vol_j, _ = gather(solid["VolumetricMeasure"], rp.idx)
+    pos_j, _ = gather(pos, rp.idx)
+    grad = (rp.dW * vol_j * rp.mask)[..., None] * rp.e
+    F_raw = -jnp.einsum("nki,nkj->nij", pos[:, None, :] - pos_j, grad)
+    out["DeformationGradient"] = F_raw @ solid["LinearGradientCorrectionMatrix"]
+    return out
+
+
+def solid_acoustic_time_step(solid: State, c0: float, h_min: float,
+                             cfl: float = 0.6):
+    """AcousticTimeStep (elastic_dynamics.cpp): per-particle
+    CFL * min(sqrt(h/|a|), h/(c0 + |v|)), reduced by min."""
+    n = solid["Position"].shape[0]
+    valid = jnp.arange(n) < solid["NReal"]
+    accel = jnp.linalg.norm(
+        (solid["Force"] + solid["ForcePrior"]) / solid["Mass"][:, None], axis=-1)
+    v = jnp.linalg.norm(solid["Velocity"], axis=-1)
+    per = jnp.minimum(jnp.sqrt(h_min / (accel + TINY)), h_min / (c0 + v))
+    return cfl * jnp.min(jnp.where(valid, per, jnp.inf))
+
+
+def fix_constraint(solid: State, part_mask) -> State:
+    """FixBodyPartConstraint (general_constraint.h FixConstraint):
+    pos = pos0, vel = 0 on the constrained part."""
+    out = dict(solid)
+    m = part_mask[:, None]
+    out["Position"] = jnp.where(m, solid["InitialPosition"], solid["Position"])
+    out["Velocity"] = jnp.where(m, 0.0, solid["Velocity"])
+    return out
+
+
+def make_elastic_solid_state(pos, volume, material, kernel=None, dtype=jnp.float32,
+                             capacity: int | None = None) -> State:
+    """Solid body state with the elastic-dynamics variables
+    (elastic_dynamics.cpp:60-95 registrations)."""
+    from sphinxsys_tpu.core.state import make_base_state
+
+    state = make_base_state(pos, volume, material.rho0, capacity, dtype)
+    n = state["Position"].shape[0]
+    dim = state["Position"].shape[1]
+    eye = jnp.broadcast_to(jnp.eye(dim, dtype=dtype), (n, dim, dim))
+    zeros_v = jnp.zeros((n, dim), dtype=dtype)
+    state.update({
+        "InitialPosition": state["Position"],
+        "Velocity": zeros_v,
+        "Force": zeros_v,
+        "ForcePrior": zeros_v,
+        "DeformationGradient": eye,
+        "DeformationRate": jnp.zeros((n, dim, dim), dtype=dtype),
+        "StressPK1OnParticle": jnp.zeros((n, dim, dim), dtype=dtype),
+        "LinearGradientCorrectionMatrix": eye,
+    })
+    return state

@@ -1,0 +1,27 @@
+"""Host-side (CPU backend) evaluation of setup-time geometry.
+
+Scene construction (lattice fills, shape normals, signed distances) is
+one-shot precompute.  When the default JAX backend is a remote TPU, eager
+dispatch of these small ops is latency-bound (each op round-trips the
+device tunnel), so we pin them to the always-present CPU backend and
+return NumPy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _cpu_device():
+    return jax.devices("cpu")[0]
+
+
+def host_eval(fn, *args):
+    """Run `fn(*args)` jitted on the CPU backend; returns NumPy arrays."""
+    with jax.default_device(_cpu_device()):
+        out = jax.jit(fn)(*args)
+    return jax.tree_util.tree_map(np.asarray, out)

@@ -1,0 +1,105 @@
+"""Total-Lagrangian solid dynamics tests (oscillating beam tier-2 analog)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphinxsys_tpu.core.materials import SaintVenantKirchhoffSolid, NeoHookeanSolid
+from sphinxsys_tpu.physics import solid as sd
+
+
+def test_svk_stress_zero_at_identity():
+    m = SaintVenantKirchhoffSolid(rho0=1e3, youngs_modulus=2e6, poisson_ratio=0.3975)
+    F = jnp.eye(2)[None]
+    S = m.stress_PK2(F)
+    np.testing.assert_allclose(np.asarray(S), 0.0, atol=1e-6)
+    P = m.stress_PK1(F)
+    np.testing.assert_allclose(np.asarray(P), 0.0, atol=1e-6)
+
+
+def test_svk_uniaxial_small_strain_matches_hooke():
+    """Small uniaxial stretch: S_xx ~ (lambda + 2G) eps for constrained
+    uniaxial strain."""
+    E, nu = 2e6, 0.3
+    m = SaintVenantKirchhoffSolid(rho0=1e3, youngs_modulus=E, poisson_ratio=nu)
+    eps = 1e-5
+    F = jnp.asarray([[1.0 + eps, 0.0], [0.0, 1.0]])[None]
+    S = np.asarray(m.stress_PK2(F))[0]
+    lam, G = m.lambda0, m.shear_modulus
+    np.testing.assert_allclose(S[0, 0], (lam + 2 * G) * eps, rtol=1e-3)
+    np.testing.assert_allclose(S[1, 1], lam * eps, rtol=1e-3)
+
+
+def test_neohookean_stress_zero_at_identity():
+    m = NeoHookeanSolid(rho0=1e3, youngs_modulus=1e6, poisson_ratio=0.4)
+    S = np.asarray(m.stress_PK2(jnp.eye(3)[None]))
+    np.testing.assert_allclose(S, 0.0, atol=1e-3)
+
+
+def test_sound_speed():
+    m = SaintVenantKirchhoffSolid(rho0=1e3, youngs_modulus=2e6, poisson_ratio=0.3975)
+    K = 2e6 / (3 * (1 - 2 * 0.3975))
+    np.testing.assert_allclose(m.sound_speed, math.sqrt(K / 1e3), rtol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def beam_run():
+    from sphinxsys_tpu.cases import oscillating_beam_2d as ob
+
+    case, s = ob.build_case(dx=ob.PH / 6)  # coarse for CI speed
+    run = ob.make_run_chunk(case)
+    tips = [(0.0, 0.0)]
+    for i in range(1, 13):
+        s = run(s, jnp.asarray(i * 0.035, s.time.dtype))
+        tips.append((float(s.time), ob.tip_displacement(case, s)))
+    return case, s, np.asarray(tips)
+
+
+def test_beam_correction_matrix_is_identity_in_bulk(beam_run):
+    case, s, _ = beam_run
+    B = np.asarray(s.solid["LinearGradientCorrectionMatrix"])
+    pos0 = np.asarray(s.solid["InitialPosition"])[: case.n_solid]
+    from sphinxsys_tpu.cases.oscillating_beam_2d import PL, PH
+    bulk = (np.abs(pos0[:, 1]) < PH / 4) & (pos0[:, 0] > 0.02) & (pos0[:, 0] < PL - 0.02)
+    # in the bulk of a uniform lattice B ~ I
+    err = np.abs(B[: case.n_solid][bulk] - np.eye(2)).max()
+    assert err < 0.05
+
+
+def test_beam_oscillates_with_physical_period(beam_run):
+    """First cantilever mode: T = 2 pi / (kl^2 sqrt(EI/(rho A L^4))) ~ 0.28 s
+    (thick-beam/SPH effects push it slightly higher)."""
+    case, s, tips = beam_run
+    t, d = tips[:, 0], tips[:, 1]
+    assert d.max() > 0.04 and d.min() < -0.04  # oscillates both ways
+    # amplitude roughly symmetric
+    assert 0.5 < abs(d.max() / d.min()) < 2.0
+    # trough of the first oscillation in a physical window
+    i_min = np.argmin(d)
+    assert 0.08 < t[i_min] < 0.30
+
+
+def test_beam_base_stays_fixed(beam_run):
+    case, s, _ = beam_run
+    mask = np.asarray(case.base_mask)
+    disp = np.asarray(s.solid["Position"] - s.solid["InitialPosition"])
+    assert np.abs(disp[mask]).max() < 1e-12
+    v = np.asarray(s.solid["Velocity"])[mask]
+    assert np.abs(v).max() < 1e-12
+
+
+def test_beam_energy_bounded(beam_run):
+    """No spurious energy growth: kinetic energy stays below its initial
+    value (converted to strain energy and back, plus damping)."""
+    case, s, _ = beam_run
+    from sphinxsys_tpu.cases import oscillating_beam_2d as ob
+
+    case2, s0 = ob.build_case(dx=ob.PH / 6)
+    ke0 = float(jnp.sum(0.5 * s0.solid["Mass"] *
+                        jnp.sum(s0.solid["Velocity"] ** 2, axis=-1)))
+    ke = float(jnp.sum(0.5 * s.solid["Mass"] *
+                       jnp.sum(s.solid["Velocity"] ** 2, axis=-1)))
+    assert ke < 1.05 * ke0
