@@ -1,0 +1,202 @@
+"""2D dambreak on the cell-block engine (TPU hot path).
+
+Same scene, constants and dual-criteria loop as cases/dambreak_2d.py
+(reference: tests/2d_examples/test_2d_dambreak/Dambreak.cpp), but the
+fluid state lives in occupied-cell block layout (neighbors/cell_blocks.py)
+between rebuilds:
+
+  * the per-advection-step re-slot IS the spatial sort (blocks are in
+    cell order), so the reference's ParticleSortCK disappears;
+  * every pair sweep is 9 dense (C, cap, cap) window passes — no per-pair
+    gathers anywhere in the acoustic loop;
+  * particle identity is carried as an OriginalID block field for IO.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sphinxsys_tpu.cases import dambreak_2d as db
+from sphinxsys_tpu.core.state import FAR_AWAY
+from sphinxsys_tpu.neighbors.cell_blocks import (
+    BlockMap, build_block_map, cross_neighbor_blocks, to_blocks,
+)
+from sphinxsys_tpu.physics import fluid_blocks as fbops
+from sphinxsys_tpu.physics import riemann as rs
+
+# block-field fill values for padding slots
+_FILLS = {
+    "Position": FAR_AWAY,
+    "Density": db.RHO0_F,
+    "Mass": 1.0,
+    "VolumetricMeasure": 1.0,
+}
+
+_FLUID_FIELDS = ["Position", "Velocity", "Density", "Mass", "VolumetricMeasure",
+                 "Pressure", "DensityChangeRate", "Force", "ForcePrior",
+                 "DensitySummation"]
+
+
+class BlockSim(NamedTuple):
+    fluid_b: Any       # block state dict (incl. SlotMask, OriginalID)
+    nbr_inner: Any     # (C_max, 9) int32
+    nbr_wall: Any      # (C_max, 9) int32
+    time: jnp.ndarray
+    n_adv: jnp.ndarray
+    n_ac: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockCase:
+    base: db.DambreakCase
+    wall_b: Any
+    bm_wall: BlockMap
+    cap: int
+    c_max: int
+
+    @property
+    def grid(self):
+        return self.base.grid
+
+    @property
+    def kernel(self):
+        return self.base.kernel
+
+
+def _slot_mask_2d(bm: BlockMap):
+    """(C_max+1, cap) slot mask with an all-False sentinel row."""
+    m = bm.slot_mask.reshape(bm.c_max, bm.cap)
+    return jnp.concatenate([m, jnp.zeros((1, bm.cap), dtype=bool)], axis=0)
+
+
+def build_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 16,
+               c_max: int | None = None):
+    base, fluid = db.build_case(dx=dx, dtype=dtype)
+    c_max = c_max or max(base.n_fluid // 4, 256)
+    c_max_w = max(base.n_wall // 4, 256)
+
+    # static wall blocks
+    bm_wall = build_block_map(base.wall["Position"], base.wall["NReal"],
+                              base.grid, cap=cap, c_max=c_max_w)
+    wall_b = {k: to_blocks(bm_wall, base.wall[k], fill=_FILLS.get(k, 0.0))
+              for k in ["Position", "VolumetricMeasure", "Mass",
+                        "AverageVelocity", "AverageAcceleration",
+                        "NormalDirection"]}
+    wall_b["SlotMask"] = _slot_mask_2d(bm_wall)
+
+    case = BlockCase(base=base, wall_b=wall_b, bm_wall=bm_wall, cap=cap,
+                     c_max=c_max)
+    return case, fluid
+
+
+def _slot_fluid(case: BlockCase, flat_fields: dict, valid):
+    """(Re-)slot flat per-particle/per-slot arrays into fresh blocks."""
+    bm = build_block_map(flat_fields["Position"], valid, case.grid,
+                         cap=case.cap, c_max=case.c_max)
+    fb = {k: to_blocks(bm, v, fill=_FILLS.get(k, 0.0))
+          for k, v in flat_fields.items() if k != "OriginalID"}
+    n = flat_fields["OriginalID"].shape[0]
+    fb["OriginalID"] = to_blocks(bm, flat_fields["OriginalID"],
+                                 fill=jnp.iinfo(jnp.int32).max)
+    fb["SlotMask"] = _slot_mask_2d(bm)
+    nbr_inner = bm.nbr_block
+    nbr_wall = cross_neighbor_blocks(bm.occ_cells, case.grid, case.bm_wall)
+    return fb, nbr_inner, nbr_wall, bm.overflow
+
+
+def init_sim(case: BlockCase, fluid: dict) -> BlockSim:
+    n = fluid["Position"].shape[0]
+    flat = {k: fluid[k] for k in _FLUID_FIELDS}
+    flat["OriginalID"] = jnp.arange(n, dtype=jnp.int32)
+    valid = jnp.arange(n) < fluid["NReal"]
+
+    @jax.jit
+    def do():
+        return _slot_fluid(case, flat, valid)
+
+    fb, nbr_inner, nbr_wall, ovf = do()
+    dtype = fluid["Position"].dtype
+    return BlockSim(fluid_b=fb, nbr_inner=nbr_inner, nbr_wall=nbr_wall,
+                    time=jnp.zeros((), dtype), n_adv=jnp.zeros((), jnp.int32),
+                    n_ac=jnp.zeros((), jnp.int32), overflow=ovf)
+
+
+def _advection_step(case: BlockCase, s: BlockSim) -> BlockSim:
+    base = case.base
+    kernel, dim = base.kernel, 2
+    h = base.adaptation.h
+    sigma0 = base.adaptation.sigma0
+    fb = s.fluid_b
+
+    dt_adv = fbops.advection_time_step_b(fb, h, db.U_REF)
+    fb = fbops.density_summation_b(
+        fb, s.nbr_inner, kernel, dim, db.RHO0_F, sigma0,
+        contacts=[(case.wall_b, s.nbr_wall, db.RHO0_F)], free_surface=True)
+
+    def ac_cond(carry):
+        _, rt, _ = carry
+        return rt < dt_adv
+
+    def ac_body(carry):
+        f, rt, k = carry
+        dt = fbops.acoustic_time_step_b(f, base.eos, h)
+        f = fbops.acoustic_step_1st_half_b(f, s.nbr_inner, kernel, dim,
+                                           base.eos, base.riemann, dt,
+                                           wall_b=case.wall_b, nbr_wall=s.nbr_wall)
+        f = fbops.acoustic_step_2nd_half_b(f, s.nbr_inner, kernel, dim,
+                                           base.riemann, dt,
+                                           wall_b=case.wall_b, nbr_wall=s.nbr_wall)
+        return (f, rt + dt, k + 1)
+
+    fb, relax_t, n_ac = jax.lax.while_loop(
+        ac_cond, ac_body, (fb, jnp.zeros_like(dt_adv), jnp.zeros((), jnp.int32)))
+
+    # re-slot (cell-order == spatial sort, every step)
+    flat = {k: fb[k].reshape((-1,) + fb[k].shape[2:])
+            for k in _FLUID_FIELDS + ["OriginalID"]}
+    valid = fb["SlotMask"].reshape(-1)
+    fb2, nbr_inner, nbr_wall, ovf = _slot_fluid(case, flat, valid)
+
+    return BlockSim(fluid_b=fb2, nbr_inner=nbr_inner, nbr_wall=nbr_wall,
+                    time=s.time + relax_t, n_adv=s.n_adv + 1,
+                    n_ac=s.n_ac + n_ac, overflow=s.overflow | ovf)
+
+
+def make_run_chunk(case: BlockCase):
+    @jax.jit
+    def run_chunk(s: BlockSim, t_target) -> BlockSim:
+        return jax.lax.while_loop(lambda st: st.time < t_target,
+                                  lambda st: _advection_step(case, st), s)
+
+    return run_chunk
+
+
+def make_advection_step(case: BlockCase):
+    @jax.jit
+    def step(s: BlockSim) -> BlockSim:
+        return _advection_step(case, s)
+
+    return step
+
+
+def blocks_to_particles(case: BlockCase, s: BlockSim, n: int) -> dict:
+    """Recover per-particle arrays (by OriginalID) for IO/observation."""
+    fb = s.fluid_b
+    ids = fb["OriginalID"].reshape(-1)
+    mask = fb["SlotMask"].reshape(-1)
+    tgt = jnp.where(mask, jnp.minimum(ids, n - 1), n)
+    out = {}
+    for k in _FLUID_FIELDS:
+        flat = fb[k].reshape((-1,) + fb[k].shape[2:])
+        arr = jnp.zeros((n + 1,) + flat.shape[1:], dtype=flat.dtype)
+        arr = arr.at[tgt].set(flat, mode="drop")
+        out[k] = arr[:n]
+    out["NReal"] = jnp.asarray(n, jnp.int32)
+    return out

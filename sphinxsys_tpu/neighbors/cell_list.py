@@ -31,11 +31,18 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class CellGrid:
-    """Static background-grid metadata (meshes/base_mesh.h Mesh)."""
+    """Static background-grid metadata (meshes/base_mesh.h Mesh).
+
+    `periodic` marks axes with wrap-around topology; on those axes the grid
+    exactly tiles the domain (spacing = L/n >= cutoff) and neighbor-window
+    cells wrap modulo the shape — the TPU replacement for the reference's
+    ghost image cells (domain_bounding.h PeriodicConditionUsingCellLinkedList).
+    """
 
     lower: Tuple[float, ...]
-    spacing: float  # cell edge length >= kernel cutoff
+    spacing: Tuple[float, ...]  # cell edge length per axis, >= kernel cutoff
     shape: Tuple[int, ...]  # number of cells per axis
+    periodic: Tuple[bool, ...] | None = None
 
     @property
     def dim(self) -> int:
@@ -45,14 +52,29 @@ class CellGrid:
     def ncells(self) -> int:
         return int(np.prod(self.shape))
 
+    @property
+    def periodic_lengths(self) -> Tuple[float, ...]:
+        """Domain length per axis where periodic, else 0 (no wrap)."""
+        if self.periodic is None:
+            return (0.0,) * self.dim
+        return tuple(s * n if p else 0.0
+                     for s, n, p in zip(self.spacing, self.shape, self.periodic))
+
     def cell_coords(self, pos):
-        """(..., dim) float positions -> (..., dim) int32 cell coords,
-        clipped into the grid (the reference uses a buffer band instead,
-        cell_linked_list.h; clipping is equivalent for in-domain physics)."""
+        """(..., dim) float positions -> (..., dim) int32 cell coords:
+        wrapped modulo shape on periodic axes, clipped otherwise (the
+        reference uses a buffer band instead, cell_linked_list.h; clipping
+        is equivalent for in-domain physics)."""
         lo = jnp.asarray(self.lower, dtype=pos.dtype)
-        c = jnp.floor((pos - lo) / self.spacing).astype(jnp.int32)
-        hi = jnp.asarray(self.shape, dtype=jnp.int32) - 1
-        return jnp.clip(c, 0, hi)
+        sp = jnp.asarray(self.spacing, dtype=pos.dtype)
+        c = jnp.floor((pos - lo) / sp).astype(jnp.int32)
+        n = jnp.asarray(self.shape, dtype=jnp.int32)
+        if self.periodic is not None and any(self.periodic):
+            pmask = jnp.asarray(self.periodic)
+            c = jnp.where(pmask, jnp.mod(c, n), jnp.clip(c, 0, n - 1))
+        else:
+            c = jnp.clip(c, 0, n - 1)
+        return c
 
     def flatten_coords(self, coords):
         """Row-major linear cell index."""
@@ -66,14 +88,44 @@ class CellGrid:
         return self.flatten_coords(self.cell_coords(pos))
 
 
-def grid_from_bounds(lower, upper, cutoff: float, buffer_cells: int = 1) -> CellGrid:
-    """Build the grid covering [lower, upper] with cell size = cutoff and a
-    safety band of `buffer_cells` on each side (host-side, static)."""
-    lo = np.asarray(lower, dtype=np.float64) - buffer_cells * cutoff
-    hi = np.asarray(upper, dtype=np.float64) + buffer_cells * cutoff
-    shape = np.maximum(np.ceil((hi - lo) / cutoff).astype(int), 1)
-    return CellGrid(lower=tuple(lo.tolist()), spacing=float(cutoff),
-                    shape=tuple(int(s) for s in shape))
+def grid_from_bounds(lower, upper, cutoff: float, buffer_cells: int = 1,
+                     periodic=None) -> CellGrid:
+    """Build the grid covering [lower, upper].  Non-periodic axes get cell
+    size = cutoff and a safety band of `buffer_cells` on each side;
+    periodic axes exactly tile [lower, upper] with n = floor(L/cutoff)
+    cells of size L/n >= cutoff (required for minimum-image wrapping)."""
+    lower = np.asarray(lower, dtype=np.float64)
+    upper = np.asarray(upper, dtype=np.float64)
+    dim = len(lower)
+    periodic = tuple(periodic) if periodic is not None else (False,) * dim
+    lo, spacing, shape = [], [], []
+    for d in range(dim):
+        if periodic[d]:
+            L = upper[d] - lower[d]
+            n = max(int(np.floor(L / cutoff)), 1)
+            lo.append(float(lower[d]))
+            spacing.append(L / n)
+            shape.append(n)
+        else:
+            lo.append(float(lower[d] - buffer_cells * cutoff))
+            extent = upper[d] + buffer_cells * cutoff - lo[-1]
+            shape.append(max(int(np.ceil(extent / cutoff)), 1))
+            spacing.append(float(cutoff))
+    return CellGrid(lower=tuple(lo), spacing=tuple(spacing),
+                    shape=tuple(shape),
+                    periodic=periodic if any(periodic) else None)
+
+
+def wrap_positions(pos, grid: CellGrid):
+    """Periodic bounding (domain_bounding.h bounding_): map positions back
+    into the primary domain on periodic axes."""
+    if grid.periodic is None or not any(grid.periodic):
+        return pos
+    lo = jnp.asarray(grid.lower, dtype=pos.dtype)
+    L = jnp.asarray([s * n for s, n in zip(grid.spacing, grid.shape)], dtype=pos.dtype)
+    pmask = jnp.asarray(grid.periodic)
+    wrapped = lo + jnp.mod(pos - lo, L)
+    return jnp.where(pmask, wrapped, pos)
 
 
 class CellTable(NamedTuple):

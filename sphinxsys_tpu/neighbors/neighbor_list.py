@@ -65,21 +65,31 @@ def build_neighbor_list(
     q_valid = jnp.arange(nq) < n_real_q
     coords = grid.cell_coords(pos_q)  # (Nq, dim)
     gshape = jnp.asarray(grid.shape, dtype=jnp.int32)
+    periodic = grid.periodic or (False,) * dim
+    pmask = jnp.asarray(periodic)
 
-    # candidate indices from the 3^dim cell window -> (Nq, 3^dim * cap)
+    # candidate indices from the 3^dim cell window -> (Nq, 3^dim * cap);
+    # periodic axes wrap modulo the grid (ghost-image-free periodicity)
     cands = []
     for off in _window_offsets(dim):
         nc = coords + jnp.asarray(off, dtype=jnp.int32)
+        if any(periodic):
+            nc = jnp.where(pmask, jnp.mod(nc, gshape), nc)
         inb = jnp.all((nc >= 0) & (nc < gshape), axis=-1)
         flat = jnp.where(inb, grid.flatten_coords(jnp.clip(nc, 0, gshape - 1)), ncells)
         cands.append(table.table[flat])  # row ncells is all-sentinel
     cand = jnp.concatenate(cands, axis=1)  # (Nq, W*cap)
 
-    # distance test (sentinel rows gather from a clipped index but are
-    # masked out explicitly, so garbage positions are harmless)
+    # distance test with minimum-image wrapping on periodic axes (sentinel
+    # rows gather from a clipped index but are masked out explicitly, so
+    # garbage positions are harmless)
     safe = jnp.minimum(cand, ns - 1)
     pos_j = pos_s[safe]  # (Nq, W*cap, dim)
     disp = pos_q[:, None, :] - pos_j
+    lengths = jnp.asarray(grid.periodic_lengths, dtype=pos_q.dtype)
+    if any(periodic):
+        disp = jnp.where(lengths > 0, disp - lengths * jnp.round(disp / jnp.where(
+            lengths > 0, lengths, 1.0)), disp)
     r2 = jnp.sum(disp * disp, axis=-1)
     mask = (cand < ns) & (r2 < cutoff * cutoff) & q_valid[:, None]
     if not include_self:

@@ -47,7 +47,7 @@ TINY = 1.0e-15
 def density_summation(fluid: State, nl_inner: NeighborList, kernel, dim: int,
                       rho0: float, sigma0: float,
                       contacts: Sequence[tuple] = (),
-                      free_surface: bool = True) -> State:
+                      free_surface: bool = True, box=None) -> State:
     """DensitySummationComplex(FreeSurface): inner + contact summation, then
     rho update.  `contacts` is a sequence of (contact_state, nl_contact,
     contact_rho0) for wall/solid bodies seen as contact.
@@ -58,13 +58,14 @@ def density_summation(fluid: State, nl_inner: NeighborList, kernel, dim: int,
              otherwise:    rho = rho_sum ; Vol = m / rho
     """
     pos = fluid["Position"]
-    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_dW=False)
+    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_dW=False, box=box)
     w0 = kernel.w0(dim)
     sigma = w0 + jnp.sum(pg.W, axis=1)
     rho_sum = sigma * rho0 / sigma0
 
     for c_state, nl_c, c_rho0 in contacts:
-        pgc = pair_geometry(pos, c_state["Position"], nl_c, kernel, dim, need_dW=False)
+        pgc = pair_geometry(pos, c_state["Position"], nl_c, kernel, dim,
+                            need_dW=False, box=box)
         mass_k, _ = gather(c_state["Mass"], nl_c.idx)
         sigma_c = jnp.sum(pgc.W * mass_k / c_rho0, axis=1)
         rho_sum = rho_sum + sigma_c * rho0 * rho0 / sigma0 / fluid["Mass"]
@@ -87,7 +88,7 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
                            eos, riemann, dt,
                            wall: State | None = None,
                            nl_wall: NeighborList | None = None,
-                           wall_riemann=None) -> State:
+                           wall_riemann=None, box=None) -> State:
     out = dict(fluid)
     # --- initialization -----------------------------------------------
     rho = fluid["Density"] + fluid["DensityChangeRate"] * (0.5 * dt)
@@ -96,7 +97,7 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
     vol = fluid["VolumetricMeasure"]
 
     # --- interaction: inner ---------------------------------------------
-    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False)
+    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False, box=box)
     p_j, _ = gather(p, nl_inner.idx)
     vol_j, _ = gather(vol, nl_inner.idx)
     dWV = pg.dW * vol_j
@@ -109,7 +110,8 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
     # --- interaction: wall contact (hpp:89-113) --------------------------
     if wall is not None:
         wr = wall_riemann or riemann
-        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim, need_W=False)
+        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim,
+                            need_W=False, box=box)
         wall_vol, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
         wall_acc_ave, _ = gather(wall["AverageAcceleration"], nl_wall.idx)
         dWV_w = pgw.dW * wall_vol
@@ -140,7 +142,7 @@ def acoustic_step_2nd_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
                            riemann, dt,
                            wall: State | None = None,
                            nl_wall: NeighborList | None = None,
-                           wall_riemann=None) -> State:
+                           wall_riemann=None, box=None) -> State:
     out = dict(fluid)
     # --- initialization ---------------------------------------------------
     pos = fluid["Position"] + fluid["Velocity"] * (0.5 * dt)
@@ -149,7 +151,7 @@ def acoustic_step_2nd_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
     vol = fluid["VolumetricMeasure"]
 
     # --- interaction: inner -------------------------------------------------
-    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False)
+    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False, box=box)
     vel_j, _ = gather(vel, nl_inner.idx)
     vol_j, _ = gather(vol, nl_inner.idx)
     dWV = pg.dW * vol_j
@@ -163,7 +165,8 @@ def acoustic_step_2nd_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
     # --- interaction: wall (hpp:205-231) ------------------------------------
     if wall is not None:
         wr = wall_riemann or riemann
-        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim, need_W=False)
+        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim,
+                            need_W=False, box=box)
         wall_vol, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
         vel_ave_k, _ = gather(wall["AverageVelocity"], nl_wall.idx)
         n_k, _ = gather(wall["NormalDirection"], nl_wall.idx)
@@ -228,7 +231,8 @@ def advection_viscous_time_step(fluid: State, h_min: float, speed_ref: float,
 
 def viscous_force(fluid: State, nl_inner: NeighborList, kernel, dim: int,
                   mu: float, smoothing_length: float,
-                  wall: State | None = None, nl_wall: NeighborList | None = None) -> State:
+                  wall: State | None = None, nl_wall: NeighborList | None = None,
+                  box=None) -> State:
     """F_i += 2 mu V_i sum_j (v_i - v_j) / (r_ij + 0.01 h) dW_ij V_j
     (legacy ViscousForce<Inner<>>, viscous_dynamics.hpp; wall variant
     doubles the jump against the averaged wall velocity).  Accumulated
@@ -236,14 +240,15 @@ def viscous_force(fluid: State, nl_inner: NeighborList, kernel, dim: int,
     pos, vel, vol = fluid["Position"], fluid["Velocity"], fluid["VolumetricMeasure"]
     eps_r = 0.01 * smoothing_length
 
-    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False)
+    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False, box=box)
     vel_j, _ = gather(vel, nl_inner.idx)
     vol_j, _ = gather(vol, nl_inner.idx)
     vderiv = (vel[:, None, :] - vel_j) / (pg.r + eps_r)[..., None]
     force = 2.0 * mu * jnp.sum(vderiv * (pg.dW * vol_j)[..., None], axis=1)
 
     if wall is not None:
-        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim, need_W=False)
+        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim,
+                            need_W=False, box=box)
         wall_vol, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
         vel_ave_k, _ = gather(wall["AverageVelocity"], nl_wall.idx)
         vderiv_w = 2.0 * (vel[:, None, :] - vel_ave_k) / (pgw.r + eps_r)[..., None]
@@ -263,19 +268,30 @@ def viscous_force(fluid: State, nl_inner: NeighborList, kernel, dim: int,
 
 def transport_velocity_correction(fluid: State, nl_inner: NeighborList, kernel,
                                   dim: int, h_ref: float, coefficient: float = 0.2,
+                                  limiter_slope: float | None = None,
                                   wall: State | None = None,
-                                  nl_wall: NeighborList | None = None) -> State:
-    """Shift positions down background-pressure gradients to keep particle
-    distributions uniform: dr_i = -coef * h^2 * sum_j dW_ij V_j e_ij
-    (TransportVelocityCorrection, zeroth-order consistent variant)."""
+                                  nl_wall: NeighborList | None = None,
+                                  box=None) -> State:
+    """Shift positions down the kernel-gradient-integral "inconsistency" to
+    keep particle distributions uniform (transport_velocity_correction.hpp:
+    37-67):
+        I_i  = -sum_j 2 dW_ij V_j e_ij      (+ wall contact term)
+        x_i += coef h^2 * limiter(h^2 |I|^2) * I_i
+    limiter = TruncatedLinear(slope) (min(slope*x, 1), default slope 100) or
+    1 when limiter_slope is None (NoLimiter)."""
     pos, vol = fluid["Position"], fluid["VolumetricMeasure"]
-    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False)
+    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False, box=box)
     vol_j, _ = gather(vol, nl_inner.idx)
-    inconsistency = jnp.sum((pg.dW * vol_j)[..., None] * pg.e, axis=1)
+    inconsistency = -jnp.sum((2.0 * pg.dW * vol_j)[..., None] * pg.e, axis=1)
     if wall is not None:
-        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim, need_W=False)
+        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim,
+                            need_W=False, box=box)
         wall_vol, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
-        inconsistency = inconsistency + jnp.sum((pgw.dW * wall_vol)[..., None] * pgw.e, axis=1)
+        inconsistency = inconsistency - jnp.sum(
+            (2.0 * pgw.dW * wall_vol)[..., None] * pgw.e, axis=1)
+    h2 = h_ref * h_ref
+    sq = jnp.sum(inconsistency**2, axis=-1)
+    lim = jnp.minimum(limiter_slope * h2 * sq, 1.0) if limiter_slope is not None else 1.0
     out = dict(fluid)
-    out["Position"] = pos - coefficient * h_ref * h_ref * inconsistency
+    out["Position"] = pos + coefficient * h2 * (lim[..., None] if limiter_slope is not None else 1.0) * inconsistency
     return out

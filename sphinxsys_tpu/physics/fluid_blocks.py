@@ -1,0 +1,249 @@
+"""WCSPH fluid ops in cell-block layout — the TPU hot path.
+
+Same physics as physics/fluid.py (fluid_integration.hpp — see that module
+for the scheme and reference citations), reformulated on the cell-block
+engine (neighbors/cell_blocks.py): state arrays live in occupied-cell
+blocks (C+1, cap, ...) and every pair sweep is a loop over the 3^dim
+window offsets of dense (C, cap_i, cap_j) broadcast ops — no per-pair
+gathers.
+
+A "block state" is a dict with the usual variable names holding block
+arrays, plus the key "SlotMask" ((C+1, cap) bool).  Positions of padding
+slots are parked FAR away but every sum is also explicitly masked (the
+minimum-image wrap would otherwise fold FAR positions back into range).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from sphinxsys_tpu.neighbors.cell_list import CellGrid
+from sphinxsys_tpu.neighbors.cell_blocks import BlockMap
+
+TINY = 1.0e-15
+
+
+def _window_offsets(dim: int):
+    return list(itertools.product(*([(-1, 0, 1)] * dim)))
+
+
+def _center_index(dim: int) -> int:
+    return _window_offsets(dim).index((0,) * dim)
+
+
+def _min_image(disp, box):
+    if box is None or not any(b > 0 for b in box):
+        return disp
+    L = jnp.asarray(box, dtype=disp.dtype)
+    safe_L = jnp.where(L > 0, L, 1.0)
+    return jnp.where(L > 0, disp - L * jnp.round(disp / safe_L), disp)
+
+
+def sweep_geometry(pos_qb, mask_qb, pos_sb, mask_sb, nbr_block, w, kernel,
+                   dim: int, box, exclude_self: bool):
+    """Pair geometry of window offset `w`: returns (j_rows, r, e, W, dW,
+    mask) with shapes (C,), (C, capi, capj), ..., (C, capi, capj, dim)."""
+    c = nbr_block.shape[0]
+    j = nbr_block[:, w]  # (C,)
+    pos_j = pos_sb[j]  # (C, capj, dim)
+    mask_j = mask_sb[j]  # (C, capj)
+    disp = pos_qb[:c, :, None, :] - pos_j[:, None, :, :]
+    disp = _min_image(disp, box)
+    r2 = jnp.sum(disp * disp, axis=-1)
+    r = jnp.sqrt(r2 + TINY)
+    e = disp / (r[..., None] + TINY)
+    mask = mask_qb[:c, :, None] & mask_j[:, None, :]
+    if exclude_self and w == _center_index(dim):
+        capi = pos_qb.shape[1]
+        eye = jnp.eye(capi, dtype=bool)
+        # center offset of an inner sweep: the j block IS the i block
+        mask = mask & ~eye[None, :, :]
+    fmask = mask.astype(pos_qb.dtype)
+    W = kernel.W(r, dim) * fmask
+    dW = kernel.dW(r, dim) * fmask
+    return j, r, e, W, dW, mask
+
+
+# ---------------------------------------------------------------------------
+# reduces over block arrays
+# ---------------------------------------------------------------------------
+
+def _masked(x, mask, fill):
+    return jnp.where(mask, x, fill)
+
+
+def acoustic_time_step_b(fb, eos, h_min: float, cfl: float = 0.6):
+    c = eos.sound_speed(fb["Pressure"], fb["Density"])
+    speed = jnp.linalg.norm(fb["Velocity"], axis=-1)
+    reduced = jnp.max(_masked(c + speed, fb["SlotMask"], 0.0))
+    return cfl * h_min / (reduced + TINY)
+
+
+def advection_time_step_b(fb, h_min: float, speed_ref: float, cfl: float = 0.25):
+    accel_scale = 4.0 * h_min * jnp.linalg.norm(
+        fb["Force"] + fb["ForcePrior"], axis=-1) / jnp.maximum(fb["Mass"], TINY)
+    v2 = jnp.sum(fb["Velocity"] ** 2, axis=-1)
+    reduced = jnp.max(_masked(jnp.maximum(v2, accel_scale), fb["SlotMask"], 0.0))
+    return cfl * h_min / (jnp.maximum(jnp.sqrt(reduced), speed_ref) + TINY)
+
+
+# ---------------------------------------------------------------------------
+# density summation (block form)
+# ---------------------------------------------------------------------------
+
+def density_summation_b(fb, nbr_inner, kernel, dim: int, rho0: float,
+                        sigma0: float, contacts: Sequence[tuple] = (),
+                        free_surface: bool = True, box=None):
+    """contacts: sequence of (contact_block_state, nbr_block_contact,
+    contact_rho0)."""
+    pos, mask = fb["Position"], fb["SlotMask"]
+    c = nbr_inner.shape[0]
+    sigma = jnp.full(pos.shape[:2], kernel.w0(dim), dtype=pos.dtype)[:c]
+    for w in range(len(_window_offsets(dim))):
+        _, r, e, W, dW, m = sweep_geometry(pos, mask, pos, mask, nbr_inner, w,
+                                           kernel, dim, box, exclude_self=True)
+        sigma = sigma + jnp.sum(W, axis=2)
+    rho_sum = sigma * rho0 / sigma0
+
+    for cb, nbr_c, c_rho0 in contacts:
+        contact_sum = jnp.zeros_like(rho_sum)
+        for w in range(len(_window_offsets(dim))):
+            j, r, e, W, dW, m = sweep_geometry(pos, mask, cb["Position"],
+                                               cb["SlotMask"], nbr_c, w, kernel,
+                                               dim, box, exclude_self=False)
+            mass_k = cb["Mass"][j]  # (C, capj)
+            contact_sum = contact_sum + jnp.sum(W * mass_k[:, None, :] / c_rho0, axis=2)
+        rho_sum = rho_sum + contact_sum * rho0 * rho0 / sigma0 / jnp.maximum(
+            fb["Mass"][:c], TINY)
+
+    out = dict(fb)
+    pad = fb["Density"][c:]
+    if free_surface:
+        out["Density"] = jnp.concatenate([jnp.maximum(rho_sum, rho0), pad], axis=0)
+    else:
+        out["Density"] = jnp.concatenate([rho_sum, pad], axis=0)
+        out["VolumetricMeasure"] = jnp.where(
+            fb["SlotMask"], fb["Mass"] / jnp.maximum(out["Density"], TINY),
+            fb["VolumetricMeasure"])
+    out["DensitySummation"] = jnp.concatenate([rho_sum, pad], axis=0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# acoustic steps (block form)
+# ---------------------------------------------------------------------------
+
+def acoustic_step_1st_half_b(fb, nbr_inner, kernel, dim: int, eos, riemann, dt,
+                             wall_b=None, nbr_wall=None, wall_riemann=None,
+                             box=None):
+    out = dict(fb)
+    mask = fb["SlotMask"]
+    rho = jnp.where(mask, fb["Density"] + fb["DensityChangeRate"] * (0.5 * dt),
+                    fb["Density"])
+    p = eos.pressure(rho)
+    pos = fb["Position"] + jnp.where(mask[..., None], fb["Velocity"] * (0.5 * dt), 0.0)
+    vol = fb["VolumetricMeasure"]
+    c = nbr_inner.shape[0]
+
+    force = jnp.zeros_like(fb["Velocity"][:c])
+    rho_diss = jnp.zeros(p.shape[:2], dtype=p.dtype)[:c]
+    for w in range(len(_window_offsets(dim))):
+        j, r, e, W, dW, m = sweep_geometry(pos, mask, pos, mask, nbr_inner, w,
+                                           kernel, dim, box, exclude_self=True)
+        p_j = p[j]
+        vol_j = vol[j]
+        dWV = dW * vol_j[:, None, :]
+        force = force - jnp.sum(
+            (p[:c, :, None] + p_j[:, None, :])[..., None] * dWV[..., None] * e, axis=2)
+        rho_diss = rho_diss + jnp.sum(
+            riemann.dissipative_u_jump(p[:c, :, None] - p_j[:, None, :]) * dWV, axis=2)
+
+    if wall_b is not None:
+        wr = wall_riemann or riemann
+        acc_prior = fb["ForcePrior"] / jnp.maximum(fb["Mass"], TINY)[..., None]
+        for w in range(len(_window_offsets(dim))):
+            j, r, e, W, dW, m = sweep_geometry(pos, mask, wall_b["Position"],
+                                               wall_b["SlotMask"], nbr_wall, w,
+                                               kernel, dim, box, exclude_self=False)
+            wall_vol = wall_b["VolumetricMeasure"][j]
+            wall_acc = wall_b["AverageAcceleration"][j]
+            dWV = dW * wall_vol[:, None, :]
+            face_acc = jnp.sum(
+                (acc_prior[:c, :, None, :] - wall_acc[:, None, :, :]) * (-e), axis=-1)
+            p_in_wall = p[:c, :, None] + rho[:c, :, None] * r * jnp.maximum(face_acc, 0.0)
+            force = force - jnp.sum(
+                (p[:c, :, None] + p_in_wall)[..., None] * dWV[..., None] * e, axis=2)
+            rho_diss = rho_diss + jnp.sum(
+                wr.dissipative_u_jump(p[:c, :, None] - p_in_wall) * dWV, axis=2)
+
+    pad_v = fb["Force"][c:]
+    force_total = fb["Force"] + jnp.concatenate(
+        [force * vol[:c][..., None], jnp.zeros_like(pad_v)], axis=0)
+    drho_dt = jnp.concatenate(
+        [rho_diss * rho[:c], fb["DensityChangeRate"][c:]], axis=0)
+    vel = fb["Velocity"] + jnp.where(
+        mask[..., None],
+        (fb["ForcePrior"] + force_total) / jnp.maximum(fb["Mass"], TINY)[..., None] * dt,
+        0.0)
+    out.update({"Density": rho, "Pressure": p, "Position": pos,
+                "Force": force_total, "DensityChangeRate": drho_dt, "Velocity": vel})
+    return out
+
+
+def acoustic_step_2nd_half_b(fb, nbr_inner, kernel, dim: int, riemann, dt,
+                             wall_b=None, nbr_wall=None, wall_riemann=None,
+                             box=None):
+    out = dict(fb)
+    mask = fb["SlotMask"]
+    pos = fb["Position"] + jnp.where(mask[..., None], fb["Velocity"] * (0.5 * dt), 0.0)
+    vel = fb["Velocity"]
+    rho = fb["Density"]
+    vol = fb["VolumetricMeasure"]
+    c = nbr_inner.shape[0]
+
+    dcr = jnp.zeros(rho.shape[:2], dtype=rho.dtype)[:c]
+    p_diss = jnp.zeros_like(vel[:c])
+    for w in range(len(_window_offsets(dim))):
+        j, r, e, W, dW, m = sweep_geometry(pos, mask, pos, mask, nbr_inner, w,
+                                           kernel, dim, box, exclude_self=True)
+        vel_j = vel[j]
+        vol_j = vol[j]
+        dWV = dW * vol_j[:, None, :]
+        u_jump = jnp.sum((vel[:c, :, None, :] - vel_j[:, None, :, :]) * e, axis=-1)
+        dcr = dcr + jnp.sum(u_jump * dWV, axis=2)
+        p_diss = p_diss + jnp.sum(
+            (riemann.dissipative_p_jump(u_jump) * dWV)[..., None] * e, axis=2)
+
+    force = p_diss * vol[:c][..., None]
+
+    if wall_b is not None:
+        wr = wall_riemann or riemann
+        for w in range(len(_window_offsets(dim))):
+            j, r, e, W, dW, m = sweep_geometry(pos, mask, wall_b["Position"],
+                                               wall_b["SlotMask"], nbr_wall, w,
+                                               kernel, dim, box, exclude_self=False)
+            wall_vol = wall_b["VolumetricMeasure"][j]
+            vel_ave = wall_b["AverageVelocity"][j]
+            n_k = wall_b["NormalDirection"][j]
+            dWV = dW * wall_vol[:, None, :]
+            e_dot_n = jnp.sum(e * n_k[:, None, :, :], axis=-1)
+            face_n = jnp.sign(e_dot_n)[..., None] * n_k[:, None, :, :]
+            vel_in_wall = 2.0 * vel_ave[:, None, :, :] - vel[:c, :, None, :]
+            dcr = dcr + jnp.sum(jnp.sum(
+                (vel[:c, :, None, :] - vel_in_wall) * e, axis=-1) * dWV, axis=2)
+            u_jump_w = 2.0 * jnp.sum(
+                (vel[:c, :, None, :] - vel_ave[:, None, :, :]) * face_n, axis=-1)
+            force = force + jnp.sum(
+                (wr.dissipative_p_jump(u_jump_w) * dWV)[..., None] * face_n,
+                axis=2) * vol[:c][..., None]
+
+    drho_dt = fb["DensityChangeRate"] + jnp.concatenate(
+        [dcr * rho[:c], jnp.zeros_like(rho[c:])], axis=0)
+    force_full = jnp.concatenate([force, jnp.zeros_like(vel[c:])], axis=0)
+    rho_new = jnp.where(mask, rho + drho_dt * (0.5 * dt), rho)
+    out.update({"Position": pos, "DensityChangeRate": drho_dt,
+                "Force": force_full, "Density": rho_new})
+    return out

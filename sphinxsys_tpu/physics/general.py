@@ -54,6 +54,12 @@ def total_mechanical_energy(state: State, gravity: Gravity):
     return jnp.sum(jnp.where(valid_mask(state), ke + pe, 0.0))
 
 
+def maximum_speed(state: State):
+    """ReduceDynamics<MaximumSpeed> (general_reduce.h)."""
+    v = jnp.linalg.norm(state["Velocity"], axis=-1)
+    return jnp.max(jnp.where(valid_mask(state), v, 0.0))
+
+
 def velocity_bound_check(state: State, velocity_bound: float):
     """ReduceOR VelocityBoundCheck (general_reduce.h:64)."""
     v2 = jnp.sum(state["Velocity"] ** 2, axis=-1)

@@ -33,10 +33,22 @@ class PairGeometry(NamedTuple):
     mask: jnp.ndarray   # (Nq, K) bool
 
 
+def min_image(disp, box):
+    """Minimum-image displacement for periodic axes.  `box` is the tuple of
+    per-axis periodic lengths (0 = not periodic), e.g.
+    grid.periodic_lengths."""
+    L = jnp.asarray(box, dtype=disp.dtype)
+    safe_L = jnp.where(L > 0, L, 1.0)
+    return jnp.where(L > 0, disp - L * jnp.round(disp / safe_L), disp)
+
+
 def pair_geometry(pos_q, pos_s, nl: NeighborList, kernel, dim: int,
-                  need_W: bool = True, need_dW: bool = True) -> PairGeometry:
+                  need_W: bool = True, need_dW: bool = True,
+                  box=None) -> PairGeometry:
     pos_j, mask = gather(pos_s, nl.idx)
     disp = pos_q[:, None, :] - pos_j
+    if box is not None and any(b > 0 for b in box):
+        disp = min_image(disp, box)
     r2 = jnp.sum(disp * disp, axis=-1)
     r = jnp.sqrt(r2 + TINY)
     e = disp / (r[..., None] + TINY)
