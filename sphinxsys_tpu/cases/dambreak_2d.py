@@ -121,7 +121,8 @@ def build_case(dx: float = 0.025, dtype=jnp.float32,
     fluid = gd.gravity_force(fluid, gravity)
 
     grid = grid_from_bounds(dom_lo, dom_hi, adaptation.cutoff)
-    wall_table = build_cell_table(wall["Position"], wall["NReal"], grid, cap=cell_cap)
+    wall_table = jax.jit(partial(build_cell_table, grid=grid, cap=cell_cap))(
+        wall["Position"], wall["NReal"])
 
     case = DambreakCase(
         dx=dx, adaptation=adaptation, grid=grid, eos=eos, riemann=riemann,

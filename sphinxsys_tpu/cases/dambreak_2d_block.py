@@ -82,14 +82,19 @@ def build_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 16,
     c_max = c_max or max(base.n_fluid // 4, 256)
     c_max_w = max(base.n_wall // 4, 256)
 
-    # static wall blocks
-    bm_wall = build_block_map(base.wall["Position"], base.wall["NReal"],
-                              base.grid, cap=cap, c_max=c_max_w)
-    wall_b = {k: to_blocks(bm_wall, base.wall[k], fill=_FILLS.get(k, 0.0))
-              for k in ["Position", "VolumetricMeasure", "Mass",
-                        "AverageVelocity", "AverageAcceleration",
-                        "NormalDirection"]}
-    wall_b["SlotMask"] = _slot_mask_2d(bm_wall)
+    # static wall blocks (jitted: eager remote-TPU dispatch is latency-bound)
+    @jax.jit
+    def _build_wall():
+        bm_wall = build_block_map(base.wall["Position"], base.wall["NReal"],
+                                  base.grid, cap=cap, c_max=c_max_w)
+        wall_b = {k: to_blocks(bm_wall, base.wall[k], fill=_FILLS.get(k, 0.0))
+                  for k in ["Position", "VolumetricMeasure", "Mass",
+                            "AverageVelocity", "AverageAcceleration",
+                            "NormalDirection"]}
+        wall_b["SlotMask"] = _slot_mask_2d(bm_wall)
+        return bm_wall, wall_b
+
+    bm_wall, wall_b = _build_wall()
 
     case = BlockCase(base=base, wall_b=wall_b, bm_wall=bm_wall, cap=cap,
                      c_max=c_max)

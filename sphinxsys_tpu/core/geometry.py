@@ -118,7 +118,11 @@ class Ball(Shape):
 
     def signed_distance(self, pos):
         c = jnp.asarray(self.center, dtype=pos.dtype)
-        return jnp.linalg.norm(pos - c, axis=-1) - self.radius
+        d = pos - c
+        sq = jnp.sum(d * d, axis=-1)
+        # safe sqrt: keeps the gradient finite at the exact center
+        r = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
+        return r - self.radius
 
     def bounds(self):
         c = np.asarray(self.center, dtype=np.float64)

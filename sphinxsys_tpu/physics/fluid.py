@@ -88,7 +88,11 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
                            eos, riemann, dt,
                            wall: State | None = None,
                            nl_wall: NeighborList | None = None,
-                           wall_riemann=None, box=None) -> State:
+                           wall_riemann=None, box=None,
+                           walls: Sequence[tuple] = ()) -> State:
+    """`walls`: additional wall-type contacts as (state, neighbor_list)
+    pairs (e.g. rigid wall + elastic insert in fsi2.cpp:135-137); the
+    single wall/nl_wall pair is kept for convenience."""
     out = dict(fluid)
     # --- initialization -----------------------------------------------
     rho = fluid["Density"] + fluid["DensityChangeRate"] * (0.5 * dt)
@@ -107,13 +111,16 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
     drho_dt = rho_dissipation * rho
     force_total = fluid["Force"] + force * vol[:, None]
 
-    # --- interaction: wall contact (hpp:89-113) --------------------------
+    # --- interaction: wall contacts (hpp:89-113) --------------------------
+    wall_list = list(walls)
     if wall is not None:
-        wr = wall_riemann or riemann
-        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim,
+        wall_list.append((wall, nl_wall))
+    wr = wall_riemann or riemann
+    for wstate, wnl in wall_list:
+        pgw = pair_geometry(pos, wstate["Position"], wnl, kernel, dim,
                             need_W=False, box=box)
-        wall_vol, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
-        wall_acc_ave, _ = gather(wall["AverageAcceleration"], nl_wall.idx)
+        wall_vol, _ = gather(wstate["VolumetricMeasure"], wnl.idx)
+        wall_acc_ave, _ = gather(wstate["AverageAcceleration"], wnl.idx)
         dWV_w = pgw.dW * wall_vol
         acc_prior = fluid["ForcePrior"] / fluid["Mass"][:, None]
         # pressure reconstructed in the wall from the hydrostatic projection
@@ -142,7 +149,8 @@ def acoustic_step_2nd_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
                            riemann, dt,
                            wall: State | None = None,
                            nl_wall: NeighborList | None = None,
-                           wall_riemann=None, box=None) -> State:
+                           wall_riemann=None, box=None,
+                           walls: Sequence[tuple] = ()) -> State:
     out = dict(fluid)
     # --- initialization ---------------------------------------------------
     pos = fluid["Position"] + fluid["Velocity"] * (0.5 * dt)
@@ -162,14 +170,17 @@ def acoustic_step_2nd_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
     drho_dt = fluid["DensityChangeRate"] + density_change_rate * rho
     force = p_dissipation * vol[:, None]  # assignment, not += (hpp:195)
 
-    # --- interaction: wall (hpp:205-231) ------------------------------------
+    # --- interaction: wall contacts (hpp:205-231) ----------------------------
+    wall_list = list(walls)
     if wall is not None:
-        wr = wall_riemann or riemann
-        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim,
+        wall_list.append((wall, nl_wall))
+    wr = wall_riemann or riemann
+    for wstate, wnl in wall_list:
+        pgw = pair_geometry(pos, wstate["Position"], wnl, kernel, dim,
                             need_W=False, box=box)
-        wall_vol, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
-        vel_ave_k, _ = gather(wall["AverageVelocity"], nl_wall.idx)
-        n_k, _ = gather(wall["NormalDirection"], nl_wall.idx)
+        wall_vol, _ = gather(wstate["VolumetricMeasure"], wnl.idx)
+        vel_ave_k, _ = gather(wstate["AverageVelocity"], wnl.idx)
+        n_k, _ = gather(wstate["NormalDirection"], wnl.idx)
         dWV_w = pgw.dW * wall_vol
         e_dot_n = jnp.sum(pgw.e * n_k, axis=-1)
         face_to_fluid_n = jnp.sign(e_dot_n)[..., None] * n_k
@@ -232,7 +243,7 @@ def advection_viscous_time_step(fluid: State, h_min: float, speed_ref: float,
 def viscous_force(fluid: State, nl_inner: NeighborList, kernel, dim: int,
                   mu: float, smoothing_length: float,
                   wall: State | None = None, nl_wall: NeighborList | None = None,
-                  box=None) -> State:
+                  box=None, walls: Sequence[tuple] = ()) -> State:
     """F_i += 2 mu V_i sum_j (v_i - v_j) / (r_ij + 0.01 h) dW_ij V_j
     (legacy ViscousForce<Inner<>>, viscous_dynamics.hpp; wall variant
     doubles the jump against the averaged wall velocity).  Accumulated
@@ -246,11 +257,14 @@ def viscous_force(fluid: State, nl_inner: NeighborList, kernel, dim: int,
     vderiv = (vel[:, None, :] - vel_j) / (pg.r + eps_r)[..., None]
     force = 2.0 * mu * jnp.sum(vderiv * (pg.dW * vol_j)[..., None], axis=1)
 
+    wall_list = list(walls)
     if wall is not None:
-        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim,
+        wall_list.append((wall, nl_wall))
+    for wstate, wnl in wall_list:
+        pgw = pair_geometry(pos, wstate["Position"], wnl, kernel, dim,
                             need_W=False, box=box)
-        wall_vol, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
-        vel_ave_k, _ = gather(wall["AverageVelocity"], nl_wall.idx)
+        wall_vol, _ = gather(wstate["VolumetricMeasure"], wnl.idx)
+        vel_ave_k, _ = gather(wstate["AverageVelocity"], wnl.idx)
         vderiv_w = 2.0 * (vel[:, None, :] - vel_ave_k) / (pgw.r + eps_r)[..., None]
         force = force + 2.0 * mu * jnp.sum(vderiv_w * (pgw.dW * wall_vol)[..., None], axis=1)
 
@@ -271,7 +285,7 @@ def transport_velocity_correction(fluid: State, nl_inner: NeighborList, kernel,
                                   limiter_slope: float | None = None,
                                   wall: State | None = None,
                                   nl_wall: NeighborList | None = None,
-                                  box=None) -> State:
+                                  box=None, walls: Sequence[tuple] = ()) -> State:
     """Shift positions down the kernel-gradient-integral "inconsistency" to
     keep particle distributions uniform (transport_velocity_correction.hpp:
     37-67):
@@ -283,10 +297,13 @@ def transport_velocity_correction(fluid: State, nl_inner: NeighborList, kernel,
     pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False, box=box)
     vol_j, _ = gather(vol, nl_inner.idx)
     inconsistency = -jnp.sum((2.0 * pg.dW * vol_j)[..., None] * pg.e, axis=1)
+    wall_list = list(walls)
     if wall is not None:
-        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim,
+        wall_list.append((wall, nl_wall))
+    for wstate, wnl in wall_list:
+        pgw = pair_geometry(pos, wstate["Position"], wnl, kernel, dim,
                             need_W=False, box=box)
-        wall_vol, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
+        wall_vol, _ = gather(wstate["VolumetricMeasure"], wnl.idx)
         inconsistency = inconsistency - jnp.sum(
             (2.0 * pgw.dW * wall_vol)[..., None] * pgw.e, axis=1)
     h2 = h_ref * h_ref

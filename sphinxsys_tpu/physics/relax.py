@@ -1,0 +1,138 @@
+"""Body-fitted particle relaxation preprocessing.
+
+Counterpart of /root/reference/src/shared/particle_dynamics/relax_dynamics/
+(relax_stepping.{h,cpp}, base_relax_dynamics.cpp) — the `--relax=true` path
+(SURVEY.md §3.5) that turns a lattice fill into an isotropic body-fitted
+particle distribution, later consumed through the Reload channel:
+
+    randomize -> loop { residual = -2 sum dW V_j e_ij (- surface correction)
+                        scaling  = 0.0625 h / max|residual|
+                        x += 0.5 * residual * scaling
+                        surface bounding: project back inside the surface
+                        band (phi > -dx/2 -> x -= (phi + dx/2) n) }
+
+The level-set kernel-gradient surface correction is replaced by the exact
+shape SDF (our shapes ARE SDFs — geometry.py): the bounding step alone
+keeps particles inside, which is the dominant effect for convex-ish parts.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sphinxsys_tpu.core.state import State
+from sphinxsys_tpu.neighbors import build_cell_table, build_neighbor_list
+from sphinxsys_tpu.neighbors.cell_list import CellGrid
+from sphinxsys_tpu.physics.pair import pair_geometry
+from sphinxsys_tpu.neighbors.neighbor_list import gather
+
+TINY = 1.0e-15
+
+
+def randomize_positions(pos, spacing: float, seed: int = 0):
+    """RandomizeParticlePosition (base_relax_dynamics.cpp): jitter by
+    U(-1,1) * spacing * dt with the reference's default dt=0.25 scale."""
+    key = jax.random.PRNGKey(seed)
+    return pos + 0.25 * spacing * jax.random.uniform(
+        key, pos.shape, dtype=pos.dtype, minval=-1.0, maxval=1.0)
+
+
+def relaxation_residual(pos, vol, nl, kernel, dim: int):
+    """residual_i = -2 sum_j dW_ij V_j e_ij (relax_stepping.cpp)."""
+    pg = pair_geometry(pos, pos, nl, kernel, dim, need_W=False)
+    vol_j, _ = gather(vol, nl.idx)
+    return -jnp.sum((2.0 * pg.dW * vol_j)[..., None] * pg.e, axis=1)
+
+
+def half_space_gradient_table(kernel, dim: int, n_samples: int = 64):
+    """L(d) = |integral of grad W over the half space beyond distance d|
+    (the flat-surface closed form of LevelSetShape::computeKernelIntegral,
+    level_set_shape.h:67): in 2D L(d) = int W(sqrt(x^2+d^2)) dx, in 3D
+    L(d) = 2 pi int_0^inf W(sqrt(s^2+d^2)) s ds.  Returns (d_grid, L)."""
+    cutoff = kernel.cutoff
+    d_grid = np.linspace(0.0, cutoff, n_samples)
+    xs = np.linspace(-cutoff, cutoff, 801)
+    dxs = xs[1] - xs[0]
+    L = np.zeros_like(d_grid)
+    for i, d in enumerate(d_grid):
+        if dim == 2:
+            r = np.sqrt(xs**2 + d**2)
+            w = np.asarray(kernel.W(jnp.asarray(r), 2))
+            L[i] = np.sum(w) * dxs
+        else:
+            s = np.linspace(0.0, cutoff, 401)
+            ds = s[1] - s[0]
+            r = np.sqrt(s**2 + d**2)
+            w = np.asarray(kernel.W(jnp.asarray(r), 3))
+            L[i] = 2.0 * np.pi * np.sum(w * s) * ds
+    return jnp.asarray(d_grid), jnp.asarray(L)
+
+
+def surface_residual_correction(pos, shape, table):
+    """Missing-neighbor correction near the body surface: the truncated
+    kernel sum is completed by the flat-surface integral, pointing inward
+    (-n * L(|phi|)); cancels the outward truncation bias of
+    relaxation_residual for particles inside the band."""
+    d_grid, L = table
+    d_grid = d_grid.astype(pos.dtype)
+    L = L.astype(pos.dtype)
+    phi = shape.signed_distance(pos)  # negative inside
+    n = shape.find_normal_direction(pos)
+    depth = jnp.clip(-phi, 0.0, d_grid[-1])
+    corr = jnp.interp(depth, d_grid, L)
+    return (-2.0 * corr[..., None] * n).astype(pos.dtype)
+
+
+def relaxation_scaling(residual, h_ref: float):
+    """0.0625 h / max|residual| (relax_stepping.cpp RelaxationScaling)."""
+    return 0.0625 * h_ref / (jnp.max(jnp.linalg.norm(residual, axis=-1)) + TINY)
+
+
+def surface_bounding(pos, shape, spacing: float):
+    """ShapeSurfaceBounding (general_constraint.cpp): project particles
+    with phi > -dx/2 back to the inner surface band."""
+    phi = shape.signed_distance(pos)
+    d = 0.5 * spacing
+    n = shape.find_normal_direction(pos)
+    shift = jnp.where((phi > -d)[..., None], (phi + d)[..., None] * n, 0.0)
+    return (pos - shift).astype(pos.dtype)
+
+
+def relax_shape(shape, pos0, volume: float, adaptation, grid: CellGrid,
+                n_iterations: int = 200, cell_cap: int = 32, k_max: int = 48,
+                seed: int = 0, surface_correction: bool = True):
+    """RelaxationStepInner driver (relax_stepping.h:224, with the level-set
+    surface correction variant): returns relaxed positions.  Whole loop is
+    one jitted lax.fori_loop."""
+    kernel = adaptation.kernel
+    dim = pos0.shape[1]
+    n = pos0.shape[0]
+    vol = jnp.full((n,), volume, dtype=pos0.dtype)
+    h_ref = adaptation.h
+    cutoff = adaptation.cutoff
+    spacing = adaptation.spacing
+    table_L = half_space_gradient_table(kernel, dim) if surface_correction else None
+
+    pos0 = randomize_positions(jnp.asarray(pos0), spacing, seed)
+    pos0 = surface_bounding(pos0, shape, spacing)
+
+    @jax.jit
+    def run(pos):
+        def body(_, p):
+            table = build_cell_table(p, jnp.int32(n), grid, cap=cell_cap)
+            nl = build_neighbor_list(p, jnp.int32(n), p, jnp.int32(n), table,
+                                     grid, cutoff, k_max=k_max, include_self=False)
+            res = relaxation_residual(p, vol, nl, kernel, dim)
+            if table_L is not None:
+                res = res + surface_residual_correction(p, shape, table_L)
+            scale = relaxation_scaling(res, h_ref)
+            p = p + 0.5 * res * scale
+            return surface_bounding(p, shape, spacing)
+
+        return jax.lax.fori_loop(0, n_iterations, body, pos)
+
+    return run(pos0)

@@ -1,0 +1,105 @@
+"""FSI coupling tests (fsi2 tier-2 analog, short horizon for CI)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphinxsys_tpu.physics import fsi
+
+
+def test_force_prior_accumulation():
+    """ForcePrior += F_new - F_prev (force_prior.hpp:22-26): applying the
+    same force twice must not double-count."""
+    n = 4
+    state = {
+        "ForcePrior": jnp.zeros((n, 2)),
+    }
+    f1 = jnp.ones((n, 2))
+    state = fsi.force_prior_update(state, "TestForce", f1)
+    np.testing.assert_allclose(np.asarray(state["ForcePrior"]), 1.0)
+    state = fsi.force_prior_update(state, "TestForce", f1)
+    np.testing.assert_allclose(np.asarray(state["ForcePrior"]), 1.0)
+    f2 = 3.0 * jnp.ones((n, 2))
+    state = fsi.force_prior_update(state, "TestForce", f2)
+    np.testing.assert_allclose(np.asarray(state["ForcePrior"]), 3.0)
+
+
+def test_average_velocity_acceleration():
+    n = 3
+    pos0 = jnp.zeros((n, 2))
+    state = {
+        "Position": pos0 + 0.2,
+        "TemporaryPosition": pos0,
+        "AverageVelocity": jnp.zeros((n, 2)),
+        "AverageAcceleration": jnp.zeros((n, 2)),
+    }
+    out = fsi.update_average_velocity_acceleration(state, 0.1)
+    np.testing.assert_allclose(np.asarray(out["AverageVelocity"]), 2.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["AverageAcceleration"]), 20.0, rtol=1e-5)
+
+
+def test_update_elastic_normal_rotates():
+    """90-degree rotation F must rotate normals by 90 degrees."""
+    theta = np.pi / 2
+    R = np.asarray([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    state = {
+        "DeformationGradient": jnp.asarray(R)[None].repeat(2, axis=0),
+        "InitialNormalDirection": jnp.asarray([[1.0, 0.0], [0.0, 1.0]]),
+    }
+    out = fsi.update_elastic_normal_direction(state)
+    np.testing.assert_allclose(np.asarray(out["NormalDirection"]),
+                               [[0.0, 1.0], [-1.0, 0.0]], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def fsi_short():
+    from sphinxsys_tpu.cases import fsi2
+
+    # dx must keep the beam >= 2 particle rows (bh = 0.2); dx=0.15 makes it
+    # a degenerate single row and the elastic solver blows up
+    case, fluid, solid = fsi2.build_case(dx=0.1)
+    s = fsi2.init_sim(case, fluid, solid)
+    run = fsi2.make_run_chunk(case)
+    s = run(s, jnp.asarray(0.6, s.time.dtype))
+    return fsi2, case, s
+
+
+def test_fsi2_runs_stably(fsi_short):
+    fsi2, case, s = fsi_short
+    assert float(s.time) >= 0.6
+    assert not bool(s.overflow)
+    for key in ["Pressure", "Velocity"]:
+        assert np.isfinite(np.asarray(s.fluid[key][: case.n_fluid])).all()
+    assert np.isfinite(np.asarray(s.solid["Position"])).all()
+
+
+def test_fsi2_cylinder_base_fixed(fsi_short):
+    fsi2, case, s = fsi_short
+    mask = np.asarray(case.base_mask)
+    disp = np.asarray(s.solid["Position"] - s.solid["InitialPosition"])[mask]
+    assert np.abs(disp).max() < 1e-10
+
+
+def test_fsi2_inflow_profile(fsi_short):
+    """Sponge-region velocities follow the ramped parabola."""
+    fsi2, case, s = fsi_short
+    pos = np.asarray(s.fluid["Position"][: case.n_fluid])
+    vel = np.asarray(s.fluid["Velocity"][: case.n_fluid])
+    # exclude the periodic seam band: particles that wrapped in from the
+    # outlet after the last inflow application still carry outlet velocities
+    in_buf = (pos[:, 0] < -case.dx) & (pos[:, 0] > -case.dl_sponge + 2 * case.dx)
+    t = float(s.time)
+    u_ave = 0.5 * fsi2.U_F * (1 - np.cos(np.pi * t / fsi2.T_REF)) if t < fsi2.T_REF else fsi2.U_F
+    y = pos[in_buf, 1] - fsi2.DH / 2
+    expected = 1.5 * u_ave * (1 - y**2 / (fsi2.DH / 2) ** 2)
+    np.testing.assert_allclose(vel[in_buf, 0], expected, atol=0.05)
+
+
+def test_fsi2_solid_feels_drag(fsi_short):
+    """After the ramp starts, the beam must receive a net +x fluid force."""
+    fsi2, case, s = fsi_short
+    visc = np.asarray(s.solid["ViscousForceFromFluid"])
+    pres = np.asarray(s.solid["PressureForceFromFluid"])
+    total = (visc + pres).sum(axis=0)
+    assert total[0] > 0.0  # drag pushes downstream
