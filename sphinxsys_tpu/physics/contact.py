@@ -1,0 +1,116 @@
+"""Dynamic solid-solid contact (penalty repulsion).
+
+Counterpart of /root/reference/src/shared/particle_dynamics/solid_dynamics/
+contact_dynamics/ (repulsion_factor_summation.cpp, contact_repulsion.cpp):
+
+  * RepulsionFactor: a density-like penetration measure
+      contact: sigma_i = sum_k W_ik V_k           (other body's particles)
+      self:    sigma_i = sum_j max(W_ij - W(dp), 0) V_j
+  * RepulsionForce (pressure-like penalty, stiffness = rho0 c0^2,
+    base_material.h:112-117):
+      contact: F_i = -V_i k_ave sum_j 2 * 0.5(sigma_i + sigma_j) dW e_ij V_j
+      wall:    uses only this body's factor with the wall's volume
+  * PairwiseFrictionFromWall (contact_friction.h) — pairwise velocity
+    damping against wall particles.
+
+Accumulated into ForcePrior via fsi.force_prior_update.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from sphinxsys_tpu.core.state import State
+from sphinxsys_tpu.neighbors.neighbor_list import NeighborList, gather
+from sphinxsys_tpu.physics.pair import pair_geometry
+from sphinxsys_tpu.physics.fsi import force_prior_update
+
+TINY = 1.0e-15
+
+
+def contact_stiffness(material) -> float:
+    """rho0 c0^2 (base_material.h:117); for elastic solids c0=sqrt(K/rho0)
+    so this equals the bulk modulus."""
+    c0 = getattr(material, "sound_speed", None)
+    if c0 is None:
+        raise ValueError("material needs a sound_speed")
+    c0 = c0 if isinstance(c0, float) else float(c0)
+    return material.rho0 * c0 * c0
+
+
+def repulsion_factor_contact(solid: State, other: State, nl: NeighborList,
+                             kernel, dim: int) -> jnp.ndarray:
+    """sigma_i = sum_j W_ij V_j over the other body's particles."""
+    pg = pair_geometry(solid["Position"], other["Position"], nl, kernel, dim,
+                       need_dW=False)
+    vol_j, _ = gather(other["VolumetricMeasure"], nl.idx)
+    return jnp.sum(pg.W * vol_j, axis=1)
+
+
+def repulsion_factor_self(solid: State, nl_inner: NeighborList, kernel,
+                          dim: int, spacing: float) -> jnp.ndarray:
+    """Self-contact factor with the W(dp) offset so the resting lattice
+    reads zero (repulsion_factor_summation.cpp:8-18)."""
+    pg = pair_geometry(solid["Position"], solid["Position"], nl_inner, kernel,
+                       dim, need_dW=False)
+    vol_j, _ = gather(solid["VolumetricMeasure"], nl_inner.idx)
+    offset = kernel.W(jnp.asarray(spacing), dim)
+    w_corr = jnp.maximum(pg.W - offset, 0.0) * pg.mask
+    return jnp.sum(w_corr * vol_j, axis=1)
+
+
+def repulsion_force_contact(solid: State, other: State, nl: NeighborList,
+                            kernel, dim: int, factor_self, factor_other,
+                            stiffness_ave: float,
+                            force_name: str = "RepulsionForce") -> State:
+    """Cross-body penalty force (contact_repulsion.cpp:52-75)."""
+    pg = pair_geometry(solid["Position"], other["Position"], nl, kernel, dim,
+                       need_W=False)
+    vol_j, _ = gather(other["VolumetricMeasure"], nl.idx)
+    sig_j, _ = gather(factor_other, nl.idx)
+    sigma_star = 0.5 * (factor_self[:, None] + sig_j)
+    force = -jnp.sum((2.0 * sigma_star * pg.dW * vol_j)[..., None] * pg.e, axis=1)
+    force = stiffness_ave * force * solid["VolumetricMeasure"][:, None]
+    return force_prior_update(solid, force_name, force)
+
+
+def repulsion_force_wall(solid: State, wall: State, nl: NeighborList, kernel,
+                         dim: int, factor_self, stiffness: float,
+                         impedance: float = 0.0,
+                         force_name: str = "RepulsionForce") -> State:
+    """Penalty force against a rigid wall (contact_repulsion.cpp Wall
+    variant): p_i = sigma_i * stiffness; optional acoustic impedance
+    damping rho0*c0*du (used by the self-contact variant)."""
+    pg = pair_geometry(solid["Position"], wall["Position"], nl, kernel, dim,
+                       need_W=False)
+    vol_j, _ = gather(wall["VolumetricMeasure"], nl.idx)
+    p_i = factor_self * stiffness
+    term = 2.0 * p_i[:, None]
+    if impedance > 0.0:
+        vel_j, _ = gather(wall["Velocity"], nl.idx)
+        du = jnp.sum((solid["Velocity"][:, None, :] - vel_j) * (-pg.e), axis=-1)
+        term = term + 2.0 * 0.5 * impedance * du
+    force = -jnp.sum((term * pg.dW * vol_j)[..., None] * pg.e, axis=1)
+    force = force * solid["VolumetricMeasure"][:, None]
+    return force_prior_update(solid, force_name, force)
+
+
+def pairwise_friction_from_wall(solid: State, wall: State, nl: NeighborList,
+                                kernel, dim: int, eta: float, dt) -> State:
+    """PairwiseFrictionFromWall (contact_friction.h:49): implicit-flavored
+    pairwise tangential damping against wall particles, applied directly to
+    the velocity (Jacobi form of the reference's colored sweep)."""
+    pg = pair_geometry(solid["Position"], wall["Position"], nl, kernel, dim,
+                       need_W=False)
+    vol_j, _ = gather(wall["VolumetricMeasure"], nl.idx)
+    vel_j, _ = gather(wall["Velocity"], nl.idx)
+    dvel = solid["Velocity"][:, None, :] - vel_j
+    # tangential component relative to the pair direction
+    normal_part = jnp.sum(dvel * pg.e, axis=-1)[..., None] * pg.e
+    tangential = dvel - normal_part
+    coeff = -2.0 * eta * pg.dW * vol_j * dt / jnp.maximum(
+        solid["Mass"], TINY)[:, None]
+    dv = -jnp.sum(jnp.minimum(coeff, 1.0)[..., None] * tangential, axis=1)
+    out = dict(solid)
+    out["Velocity"] = solid["Velocity"] + dv
+    return out

@@ -1,0 +1,193 @@
+"""Diffusion, reaction, and electrophysiology dynamics.
+
+Counterpart of /root/reference/src/shared/particle_dynamics/
+diffusion_reaction_dynamics/ (diffusion_dynamics.{h,hpp} explicit/RK2
+relaxation with Dirichlet contact BCs; reaction_dynamics.h operator-split
+exponential-integrator ODE sweeps) and electro_physiology/ (monodomain
+transmembrane diffusion-reaction with the Aliev-Panfilow two-variable
+cell model, electro_physiology.cpp:24-56).
+
+SPH diffusion operator (diffusion_dynamics.hpp:76-99):
+    dC/dt_i = sum_j d_ij (C_i - C_j) * 2 dW_ij V_j / r_ij
+Dirichlet contact adds the same term against fixed boundary values.
+Reaction update per species (reaction_dynamics.h:48-52, exponential /
+quasi-steady integrator):
+    C <- C e^{-L dt} + P (1 - e^{-L dt}) / L
+applied forward then backward over the species list (Strang-like split).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Sequence
+
+import jax.numpy as jnp
+
+from sphinxsys_tpu.core.state import State
+from sphinxsys_tpu.neighbors.neighbor_list import NeighborList, gather
+from sphinxsys_tpu.physics.pair import pair_geometry
+
+TINY = 1.0e-15
+
+
+# ---------------------------------------------------------------------------
+# diffusion models (materials/diffusion_reaction.h:47-296)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class IsotropicDiffusion:
+    d_coeff: float
+
+    def inter_particle_coeff(self, e_ij, fiber_i=None, fiber_j=None):
+        return self.d_coeff
+
+    @property
+    def reference_diffusivity(self) -> float:
+        return self.d_coeff
+
+
+@dataclasses.dataclass(frozen=True)
+class DirectionalDiffusion:
+    """D = d I + d_bias f f^T; effective pair coefficient e.D.e
+    (the Cholesky-transformed norm of the reference equals this for SPD D)."""
+
+    d_coeff: float
+    bias_coeff: float
+    bias_direction: tuple
+
+    def inter_particle_coeff(self, e_ij, fiber_i=None, fiber_j=None):
+        f = jnp.asarray(self.bias_direction, dtype=e_ij.dtype)
+        proj = jnp.sum(e_ij * f, axis=-1)
+        return self.d_coeff + self.bias_coeff * proj * proj
+
+    @property
+    def reference_diffusivity(self) -> float:
+        return self.d_coeff + self.bias_coeff
+
+
+def diffusion_time_step(h: float, diffusion, dim: int) -> float:
+    """dt = 0.5 h^2 / d / dim (diffusion_reaction.cpp:16-19)."""
+    return 0.5 * h * h / diffusion.reference_diffusivity / dim
+
+
+# ---------------------------------------------------------------------------
+# diffusion relaxation
+# ---------------------------------------------------------------------------
+
+def diffusion_rate(pos_q, species_q, vol_s, pos_s, species_s, nl: NeighborList,
+                   kernel, dim: int, diffusion, box=None):
+    """dC/dt contribution through one relation."""
+    pg = pair_geometry(pos_q, pos_s, nl, kernel, dim, need_W=False, box=box)
+    vol_j, _ = gather(vol_s, nl.idx)
+    c_j, _ = gather(species_s, nl.idx)
+    d_ij = diffusion.inter_particle_coeff(pg.e)
+    area = 2.0 * pg.dW * vol_j / (pg.r + TINY)
+    return jnp.sum(d_ij * (species_q[:, None] - c_j) * area, axis=1)
+
+
+def diffusion_step(state: State, species: str, nl_inner: NeighborList, kernel,
+                   dim: int, diffusion, dt, dirichlet_contacts: Sequence[tuple] = (),
+                   box=None) -> State:
+    """One explicit Euler diffusion step; `dirichlet_contacts` is a sequence
+    of (contact_state, nl_contact) with fixed `species` values
+    (Dirichlet<...>, diffusion_dynamics.h:173-207)."""
+    pos = state["Position"]
+    c = state[species]
+    rate = diffusion_rate(pos, c, state["VolumetricMeasure"], pos, c, nl_inner,
+                          kernel, dim, diffusion, box)
+    for c_state, nl_c in dirichlet_contacts:
+        rate = rate + diffusion_rate(pos, c, c_state["VolumetricMeasure"],
+                                     c_state["Position"], c_state[species],
+                                     nl_c, kernel, dim, diffusion, box)
+    out = dict(state)
+    out[species] = c + rate * dt
+    return out
+
+
+def diffusion_step_rk2(state: State, species: str, nl_inner: NeighborList,
+                       kernel, dim: int, diffusion, dt,
+                       dirichlet_contacts: Sequence[tuple] = (), box=None) -> State:
+    """Second-order Runge-Kutta: C_half via two Euler steps averaged with
+    the initial value (DiffusionRelaxationRK2, diffusion_dynamics.h)."""
+    c0 = state[species]
+    s1 = diffusion_step(state, species, nl_inner, kernel, dim, diffusion, dt,
+                        dirichlet_contacts, box)
+    s2 = diffusion_step(s1, species, nl_inner, kernel, dim, diffusion, dt,
+                        dirichlet_contacts, box)
+    out = dict(s2)
+    out[species] = 0.5 * (c0 + s2[species])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reaction models + operator-split relaxation
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class AlievPanfilowModel:
+    """Two-variable excitation-recovery cell model
+    (electro_physiology.cpp:24-56).  Species: "Voltage" (V),
+    "GateVariable" (w); production/loss split for the exponential
+    integrator:
+        dV/dt: P = -k V (V^2 - a V - V)/c_m           L = (k a + w)/c_m
+        dw/dt: P = -g k V (V - b - 1), g = eps + mu1 w/(mu2 + V)
+               L = g
+    """
+
+    k_a: float = 0.0
+    c_m: float = 1.0
+    k: float = 8.0
+    a: float = 0.15
+    b: float = 0.15
+    mu_1: float = 0.2
+    mu_2: float = 0.3
+    epsilon: float = 0.002
+
+    @property
+    def species_names(self):
+        return ("Voltage", "GateVariable")
+
+    def rates(self, name: str, species: Dict[str, jnp.ndarray]):
+        v = species["Voltage"]
+        w = species["GateVariable"]
+        if name == "Voltage":
+            production = -self.k * v * (v * v - self.a * v - v) / self.c_m
+            loss = (self.k * self.a + w) / self.c_m
+        elif name == "GateVariable":
+            g = self.epsilon + self.mu_1 * w / (self.mu_2 + v + TINY)
+            production = -g * self.k * v * (v - self.b - 1.0)
+            loss = g
+        else:
+            raise KeyError(name)
+        return production, loss
+
+
+def _exponential_update(c, production, loss, dt):
+    """reaction_dynamics.h:48-52 quasi-steady exponential integrator."""
+    alpha = jnp.exp(-loss * dt)
+    return c * alpha + production * (1.0 - alpha) / (loss + TINY)
+
+
+def reaction_step(state: State, model, dt, backward: bool = False) -> State:
+    """One operator-split reaction sweep over the model's species
+    (ReactionRelaxation forward/backward, reaction_dynamics.h:55-80)."""
+    out = dict(state)
+    names = list(model.species_names)
+    if backward:
+        names = names[::-1]
+    for name in names:
+        species = {k: out[k] for k in model.species_names}
+        production, loss = model.rates(name, species)
+        out[name] = _exponential_update(out[name], production, loss, dt)
+    return out
+
+
+def electrophysiology_step(state: State, nl_inner: NeighborList, kernel,
+                           dim: int, diffusion, model, dt, box=None) -> State:
+    """Monodomain operator splitting (Strang): half reaction forward,
+    full diffusion of Voltage, half reaction backward — the composition
+    used by the electrophysiology cases (electro_physiology.h:42-104)."""
+    s = reaction_step(state, model, 0.5 * dt)
+    s = diffusion_step_rk2(s, "Voltage", nl_inner, kernel, dim, diffusion, dt, box=box)
+    s = reaction_step(s, model, 0.5 * dt, backward=True)
+    return s

@@ -73,7 +73,12 @@ def linear_gradient_correction_matrix(rp: ReferencePairs, vol, alpha: float = 0.
 
 def integration_1st_half_pk2(solid: State, rp: ReferencePairs, material,
                              dt, smoothing_length: float, w0: float,
-                             numerical_dissipation_factor: float = 0.25) -> State:
+                             numerical_dissipation_factor: float = 0.25,
+                             active_stress_fn=None) -> State:
+    """`active_stress_fn(solid, F) -> PK2 active stress` implements
+    ActiveMuscle / ActiveContractionForce (active_muscle_dynamics,
+    complex_solid.h:42-96): typically Ta * fiber outer fiber from the
+    electrophysiology's ActiveContractionStress species."""
     out = dict(solid)
     dim = solid["Position"].shape[1]
     rho0 = material.rho0
@@ -84,7 +89,10 @@ def integration_1st_half_pk2(solid: State, rp: ReferencePairs, material,
     F = solid["DeformationGradient"] + solid["DeformationRate"] * (0.5 * dt)
     rho = rho0 / jnp.linalg.det(F)
     B = solid["LinearGradientCorrectionMatrix"]
-    S = material.stress_PK1(F) @ jnp.swapaxes(B, -1, -2)  # StressPK1OnParticle
+    S2 = material.stress_PK2(F)
+    if active_stress_fn is not None:
+        S2 = S2 + active_stress_fn(solid, F)
+    S = (F @ S2) @ jnp.swapaxes(B, -1, -2)  # StressPK1OnParticle
 
     # --- interaction -------------------------------------------------------
     vel = solid["Velocity"]
@@ -144,6 +152,20 @@ def deformation_gradient_by_summation(solid: State, rp: ReferencePairs) -> State
     F_raw = -jnp.einsum("nki,nkj->nij", pos[:, None, :] - pos_j, grad)
     out["DeformationGradient"] = F_raw @ solid["LinearGradientCorrectionMatrix"]
     return out
+
+
+def active_fiber_stress(ta_key: str = "ActiveContractionStress",
+                        fiber_key: str = "Fiber"):
+    """ActiveMuscle active stress: S_active = Ta * f outer f
+    (complex_solid.h ActiveMuscle / active_muscle_dynamics
+    ActiveContractionForce); Ta comes from the electrophysiology species."""
+
+    def fn(solid: State, F):
+        ta = solid[ta_key]
+        f = solid[fiber_key]
+        return ta[..., None, None] * (f[..., :, None] * f[..., None, :])
+
+    return fn
 
 
 def solid_acoustic_time_step(solid: State, c0: float, h_min: float,
