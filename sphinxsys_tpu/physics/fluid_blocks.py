@@ -7,10 +7,15 @@ blocks (C+1, cap, ...) and every pair sweep is a loop over the 3^dim
 window offsets of dense (C, cap_i, cap_j) broadcast ops — no per-pair
 gathers.
 
+Performance notes (measured on TPU v5e):
+  * all per-window source data is packed into ONE (C+1, cap, ch) tensor so
+    each window costs a single row-granularity gather instead of one per
+    field;
+  * padding slots are masked explicitly (their positions are parked FAR,
+    but a periodic minimum-image wrap would fold FAR back into range).
+
 A "block state" is a dict with the usual variable names holding block
-arrays, plus the key "SlotMask" ((C+1, cap) bool).  Positions of padding
-slots are parked FAR away but every sum is also explicitly masked (the
-minimum-image wrap would otherwise fold FAR positions back into range).
+arrays, plus the key "SlotMask" ((C+1, cap) bool).
 """
 
 from __future__ import annotations
@@ -42,29 +47,26 @@ def _min_image(disp, box):
     return jnp.where(L > 0, disp - L * jnp.round(disp / safe_L), disp)
 
 
-def sweep_geometry(pos_qb, mask_qb, pos_sb, mask_sb, nbr_block, w, kernel,
-                   dim: int, box, exclude_self: bool):
-    """Pair geometry of window offset `w`: returns (j_rows, r, e, W, dW,
-    mask) with shapes (C,), (C, capi, capj), ..., (C, capi, capj, dim)."""
-    c = nbr_block.shape[0]
-    j = nbr_block[:, w]  # (C,)
-    pos_j = pos_sb[j]  # (C, capj, dim)
-    mask_j = mask_sb[j]  # (C, capj)
-    disp = pos_qb[:c, :, None, :] - pos_j[:, None, :, :]
+def pack_channels(*arrays):
+    """Pack (C+1, cap) / (C+1, cap, d) arrays into one (C+1, cap, ch)."""
+    cols = [a if a.ndim == 3 else a[..., None] for a in arrays]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _pair_geom(pos_i, mask_i, pos_j, mask_j, w, kernel, dim, box, exclude_self):
+    """(C, capi, capj) pair geometry given gathered j positions."""
+    c = pos_j.shape[0]
+    disp = pos_i[:c, :, None, :] - pos_j[:, None, :, :]
     disp = _min_image(disp, box)
     r2 = jnp.sum(disp * disp, axis=-1)
     r = jnp.sqrt(r2 + TINY)
     e = disp / (r[..., None] + TINY)
-    mask = mask_qb[:c, :, None] & mask_j[:, None, :]
+    mask = mask_i[:c, :, None] & mask_j[:, None, :]
     if exclude_self and w == _center_index(dim):
-        capi = pos_qb.shape[1]
+        capi = pos_i.shape[1]
         eye = jnp.eye(capi, dtype=bool)
-        # center offset of an inner sweep: the j block IS the i block
         mask = mask & ~eye[None, :, :]
-    fmask = mask.astype(pos_qb.dtype)
-    W = kernel.W(r, dim) * fmask
-    dW = kernel.dW(r, dim) * fmask
-    return j, r, e, W, dW, mask
+    return r, e, mask
 
 
 # ---------------------------------------------------------------------------
@@ -101,21 +103,27 @@ def density_summation_b(fb, nbr_inner, kernel, dim: int, rho0: float,
     contact_rho0)."""
     pos, mask = fb["Position"], fb["SlotMask"]
     c = nbr_inner.shape[0]
+    n_w = len(_window_offsets(dim))
     sigma = jnp.full(pos.shape[:2], kernel.w0(dim), dtype=pos.dtype)[:c]
-    for w in range(len(_window_offsets(dim))):
-        _, r, e, W, dW, m = sweep_geometry(pos, mask, pos, mask, nbr_inner, w,
-                                           kernel, dim, box, exclude_self=True)
+    fmaskd = mask.astype(pos.dtype)
+    for w in range(n_w):
+        j = nbr_inner[:, w]
+        r, e, m = _pair_geom(pos, mask, pos[j], mask[j], w, kernel, dim, box, True)
+        W = kernel.W(r, dim) * m.astype(r.dtype)
         sigma = sigma + jnp.sum(W, axis=2)
     rho_sum = sigma * rho0 / sigma0
 
     for cb, nbr_c, c_rho0 in contacts:
+        packed = pack_channels(cb["Position"], cb["Mass"])
         contact_sum = jnp.zeros_like(rho_sum)
-        for w in range(len(_window_offsets(dim))):
-            j, r, e, W, dW, m = sweep_geometry(pos, mask, cb["Position"],
-                                               cb["SlotMask"], nbr_c, w, kernel,
-                                               dim, box, exclude_self=False)
-            mass_k = cb["Mass"][j]  # (C, capj)
-            contact_sum = contact_sum + jnp.sum(W * mass_k[:, None, :] / c_rho0, axis=2)
+        for w in range(n_w):
+            j = nbr_c[:, w]
+            pj = packed[j]
+            r, e, m = _pair_geom(pos, mask, pj[..., :dim], cb["SlotMask"][j],
+                                 w, kernel, dim, box, False)
+            W = kernel.W(r, dim) * m.astype(r.dtype)
+            contact_sum = contact_sum + jnp.sum(
+                W * pj[..., dim][:, None, :] / c_rho0, axis=2)
         rho_sum = rho_sum + contact_sum * rho0 * rho0 / sigma0 / jnp.maximum(
             fb["Mass"][:c], TINY)
 
@@ -133,7 +141,7 @@ def density_summation_b(fb, nbr_inner, kernel, dim: int, rho0: float,
 
 
 # ---------------------------------------------------------------------------
-# acoustic steps (block form)
+# acoustic steps (block form, channel-packed window gathers)
 # ---------------------------------------------------------------------------
 
 def acoustic_step_1st_half_b(fb, nbr_inner, kernel, dim: int, eos, riemann, dt,
@@ -147,32 +155,43 @@ def acoustic_step_1st_half_b(fb, nbr_inner, kernel, dim: int, eos, riemann, dt,
     pos = fb["Position"] + jnp.where(mask[..., None], fb["Velocity"] * (0.5 * dt), 0.0)
     vol = fb["VolumetricMeasure"]
     c = nbr_inner.shape[0]
+    n_w = len(_window_offsets(dim))
 
+    packed = pack_channels(pos, p, vol)  # (C+1, cap, dim+2)
     force = jnp.zeros_like(fb["Velocity"][:c])
     rho_diss = jnp.zeros(p.shape[:2], dtype=p.dtype)[:c]
-    for w in range(len(_window_offsets(dim))):
-        j, r, e, W, dW, m = sweep_geometry(pos, mask, pos, mask, nbr_inner, w,
-                                           kernel, dim, box, exclude_self=True)
-        p_j = p[j]
-        vol_j = vol[j]
-        dWV = dW * vol_j[:, None, :]
+    for w in range(n_w):
+        j = nbr_inner[:, w]
+        pj = packed[j]
+        r, e, m = _pair_geom(pos, mask, pj[..., :dim], mask[j], w, kernel,
+                             dim, box, True)
+        fm = m.astype(r.dtype)
+        dW = kernel.dW(r, dim) * fm
+        p_j = pj[..., dim][:, None, :]
+        vol_j = pj[..., dim + 1][:, None, :]
+        dWV = dW * vol_j
         force = force - jnp.sum(
-            (p[:c, :, None] + p_j[:, None, :])[..., None] * dWV[..., None] * e, axis=2)
+            (p[:c, :, None] + p_j)[..., None] * dWV[..., None] * e, axis=2)
         rho_diss = rho_diss + jnp.sum(
-            riemann.dissipative_u_jump(p[:c, :, None] - p_j[:, None, :]) * dWV, axis=2)
+            riemann.dissipative_u_jump(p[:c, :, None] - p_j) * dWV, axis=2)
 
     if wall_b is not None:
         wr = wall_riemann or riemann
         acc_prior = fb["ForcePrior"] / jnp.maximum(fb["Mass"], TINY)[..., None]
-        for w in range(len(_window_offsets(dim))):
-            j, r, e, W, dW, m = sweep_geometry(pos, mask, wall_b["Position"],
-                                               wall_b["SlotMask"], nbr_wall, w,
-                                               kernel, dim, box, exclude_self=False)
-            wall_vol = wall_b["VolumetricMeasure"][j]
-            wall_acc = wall_b["AverageAcceleration"][j]
-            dWV = dW * wall_vol[:, None, :]
+        wpacked = pack_channels(wall_b["Position"], wall_b["VolumetricMeasure"],
+                                wall_b["AverageAcceleration"])
+        for w in range(n_w):
+            j = nbr_wall[:, w]
+            pj = wpacked[j]
+            r, e, m = _pair_geom(pos, mask, pj[..., :dim], wall_b["SlotMask"][j],
+                                 w, kernel, dim, box, False)
+            fm = m.astype(r.dtype)
+            dW = kernel.dW(r, dim) * fm
+            wall_vol = pj[..., dim][:, None, :]
+            wall_acc = pj[..., dim + 1:2 * dim + 1][:, None, :, :]
+            dWV = dW * wall_vol
             face_acc = jnp.sum(
-                (acc_prior[:c, :, None, :] - wall_acc[:, None, :, :]) * (-e), axis=-1)
+                (acc_prior[:c, :, None, :] - wall_acc) * (-e), axis=-1)
             p_in_wall = p[:c, :, None] + rho[:c, :, None] * r * jnp.maximum(face_acc, 0.0)
             force = force - jnp.sum(
                 (p[:c, :, None] + p_in_wall)[..., None] * dWV[..., None] * e, axis=2)
@@ -203,16 +222,22 @@ def acoustic_step_2nd_half_b(fb, nbr_inner, kernel, dim: int, riemann, dt,
     rho = fb["Density"]
     vol = fb["VolumetricMeasure"]
     c = nbr_inner.shape[0]
+    n_w = len(_window_offsets(dim))
 
+    packed = pack_channels(pos, vel, vol)  # (C+1, cap, 2 dim + 1)
     dcr = jnp.zeros(rho.shape[:2], dtype=rho.dtype)[:c]
     p_diss = jnp.zeros_like(vel[:c])
-    for w in range(len(_window_offsets(dim))):
-        j, r, e, W, dW, m = sweep_geometry(pos, mask, pos, mask, nbr_inner, w,
-                                           kernel, dim, box, exclude_self=True)
-        vel_j = vel[j]
-        vol_j = vol[j]
-        dWV = dW * vol_j[:, None, :]
-        u_jump = jnp.sum((vel[:c, :, None, :] - vel_j[:, None, :, :]) * e, axis=-1)
+    for w in range(n_w):
+        j = nbr_inner[:, w]
+        pj = packed[j]
+        r, e, m = _pair_geom(pos, mask, pj[..., :dim], mask[j], w, kernel,
+                             dim, box, True)
+        fm = m.astype(r.dtype)
+        dW = kernel.dW(r, dim) * fm
+        vel_j = pj[..., dim:2 * dim][:, None, :, :]
+        vol_j = pj[..., 2 * dim][:, None, :]
+        dWV = dW * vol_j
+        u_jump = jnp.sum((vel[:c, :, None, :] - vel_j) * e, axis=-1)
         dcr = dcr + jnp.sum(u_jump * dWV, axis=2)
         p_diss = p_diss + jnp.sum(
             (riemann.dissipative_p_jump(u_jump) * dWV)[..., None] * e, axis=2)
@@ -221,21 +246,26 @@ def acoustic_step_2nd_half_b(fb, nbr_inner, kernel, dim: int, riemann, dt,
 
     if wall_b is not None:
         wr = wall_riemann or riemann
-        for w in range(len(_window_offsets(dim))):
-            j, r, e, W, dW, m = sweep_geometry(pos, mask, wall_b["Position"],
-                                               wall_b["SlotMask"], nbr_wall, w,
-                                               kernel, dim, box, exclude_self=False)
-            wall_vol = wall_b["VolumetricMeasure"][j]
-            vel_ave = wall_b["AverageVelocity"][j]
-            n_k = wall_b["NormalDirection"][j]
-            dWV = dW * wall_vol[:, None, :]
-            e_dot_n = jnp.sum(e * n_k[:, None, :, :], axis=-1)
-            face_n = jnp.sign(e_dot_n)[..., None] * n_k[:, None, :, :]
-            vel_in_wall = 2.0 * vel_ave[:, None, :, :] - vel[:c, :, None, :]
+        wpacked = pack_channels(wall_b["Position"], wall_b["VolumetricMeasure"],
+                                wall_b["AverageVelocity"], wall_b["NormalDirection"])
+        for w in range(n_w):
+            j = nbr_wall[:, w]
+            pj = wpacked[j]
+            r, e, m = _pair_geom(pos, mask, pj[..., :dim], wall_b["SlotMask"][j],
+                                 w, kernel, dim, box, False)
+            fm = m.astype(r.dtype)
+            dW = kernel.dW(r, dim) * fm
+            wall_vol = pj[..., dim][:, None, :]
+            vel_ave = pj[..., dim + 1:2 * dim + 1][:, None, :, :]
+            n_k = pj[..., 2 * dim + 1:3 * dim + 1][:, None, :, :]
+            dWV = dW * wall_vol
+            e_dot_n = jnp.sum(e * n_k, axis=-1)
+            face_n = jnp.sign(e_dot_n)[..., None] * n_k
+            vel_in_wall = 2.0 * vel_ave - vel[:c, :, None, :]
             dcr = dcr + jnp.sum(jnp.sum(
                 (vel[:c, :, None, :] - vel_in_wall) * e, axis=-1) * dWV, axis=2)
             u_jump_w = 2.0 * jnp.sum(
-                (vel[:c, :, None, :] - vel_ave[:, None, :, :]) * face_n, axis=-1)
+                (vel[:c, :, None, :] - vel_ave) * face_n, axis=-1)
             force = force + jnp.sum(
                 (wr.dissipative_p_jump(u_jump_w) * dWV)[..., None] * face_n,
                 axis=2) * vol[:c][..., None]
@@ -247,3 +277,18 @@ def acoustic_step_2nd_half_b(fb, nbr_inner, kernel, dim: int, riemann, dt,
     out.update({"Position": pos, "DensityChangeRate": drho_dt,
                 "Force": force_full, "Density": rho_new})
     return out
+
+
+# kept for compatibility with tests/other ops
+def sweep_geometry(pos_qb, mask_qb, pos_sb, mask_sb, nbr_block, w, kernel,
+                   dim: int, box, exclude_self: bool):
+    """Pair geometry of window offset `w` (unpacked variant)."""
+    j = nbr_block[:, w]
+    pos_j = pos_sb[j]
+    mask_j = mask_sb[j]
+    r, e, m = _pair_geom(pos_qb, mask_qb, pos_j, mask_j, w, kernel, dim, box,
+                         exclude_self)
+    fm = m.astype(pos_qb.dtype)
+    W = kernel.W(r, dim) * fm
+    dW = kernel.dW(r, dim) * fm
+    return j, r, e, W, dW, m

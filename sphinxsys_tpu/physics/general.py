@@ -66,6 +66,40 @@ def velocity_bound_check(state: State, velocity_bound: float):
     return jnp.any(jnp.where(valid_mask(state), v2 > velocity_bound**2, False))
 
 
+def quantity_summation(state: State, name: str):
+    """ReduceDynamics<QuantitySummation<T>> — masked total of a variable."""
+    arr = state[name]
+    mask = valid_mask(state)
+    if arr.ndim == 2:
+        return jnp.sum(jnp.where(mask[:, None], arr, 0.0), axis=0)
+    return jnp.sum(jnp.where(mask, arr, 0.0))
+
+
+def velocity_gradient(state: State, nl, kernel, dim: int, box=None):
+    """grad v_i = -sum_j (v_i - v_j) outer gradW_ij V_j
+    (velocity_gradient.* / general gradient ops)."""
+    from sphinxsys_tpu.neighbors.neighbor_list import gather
+    from sphinxsys_tpu.physics.pair import pair_geometry
+
+    pos, vel = state["Position"], state["Velocity"]
+    pg = pair_geometry(pos, pos, nl, kernel, dim, need_W=False, box=box)
+    vel_j, _ = gather(vel, nl.idx)
+    vol_j, _ = gather(state["VolumetricMeasure"], nl.idx)
+    grad = (pg.dW * vol_j)[..., None] * pg.e
+    return -jnp.einsum("nki,nkj->nij", vel[:, None, :] - vel_j, grad)
+
+
+def vorticity(state: State, nl, kernel, dim: int, box=None):
+    """InteractionDynamics<VorticityInner>: curl of velocity (2D scalar,
+    3D vector)."""
+    g = velocity_gradient(state, nl, kernel, dim, box)
+    if dim == 2:
+        return g[:, 1, 0] - g[:, 0, 1]
+    return jnp.stack([g[:, 2, 1] - g[:, 1, 2],
+                      g[:, 0, 2] - g[:, 2, 0],
+                      g[:, 1, 0] - g[:, 0, 1]], axis=-1)
+
+
 def normal_direction_from_shape(state: State, shape) -> State:
     """SimpleDynamics<NormalDirectionFromBodyShape>
     (general_geometric.cpp:18-26): store the shape normal and signed

@@ -154,6 +154,29 @@ def deformation_gradient_by_summation(solid: State, rp: ReferencePairs) -> State
     return out
 
 
+def von_mises_stress(solid: State, material):
+    """Derived observable (solid_dynamics_variable.*): von Mises equivalent
+    of the Cauchy stress sigma = F S F^T / J."""
+    F = solid["DeformationGradient"]
+    dim = F.shape[-1]
+    S = material.stress_PK2(F)
+    J = jnp.linalg.det(F)
+    sigma = (F @ S @ jnp.swapaxes(F, -1, -2)) / J[..., None, None]
+    tr = jnp.trace(sigma, axis1=-2, axis2=-1) / dim
+    dev = sigma - tr[..., None, None] * jnp.eye(dim, dtype=F.dtype)
+    return jnp.sqrt(1.5 * jnp.sum(dev * dev, axis=(-2, -1)))
+
+
+def von_mises_strain(solid: State):
+    """Von Mises equivalent of the Green-Lagrange strain."""
+    F = solid["DeformationGradient"]
+    dim = F.shape[-1]
+    E = 0.5 * (jnp.swapaxes(F, -1, -2) @ F - jnp.eye(dim, dtype=F.dtype))
+    tr = jnp.trace(E, axis1=-2, axis2=-1) / dim
+    dev = E - tr[..., None, None] * jnp.eye(dim, dtype=F.dtype)
+    return jnp.sqrt(2.0 / 3.0 * jnp.sum(dev * dev, axis=(-2, -1)))
+
+
 def active_fiber_stress(ta_key: str = "ActiveContractionStress",
                         fiber_key: str = "Fiber"):
     """ActiveMuscle active stress: S_active = Ta * f outer f

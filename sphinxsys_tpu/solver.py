@@ -1,0 +1,125 @@
+"""Solver driver utilities: time stepping, event triggers, phase timing.
+
+Counterpart of the reference CK scene/driver layer
+(/root/reference/src/shared/shared_ck/particle_dynamics/sph_solver.h):
+  * TimeStepper (:64-181) — physical-time state, integrateMatchedTimeInterval
+  * TriggerByInterval / TriggerByPhysicalTime (:138-165)
+  * EventScheduler (:41-62)
+and of the coarse phase timers every example prints (SURVEY.md §5 tracing:
+TickCount totals, Dambreak.cpp:151-156,229-238).
+
+The TPU framework keeps simulation state on device inside jitted
+run-chunks; this layer orchestrates host-side concerns only: when to stop,
+when to fire IO/observation events, and wall-clock accounting per phase.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import time
+from typing import Callable, Dict, List
+
+
+class TriggerByInterval:
+    """Fires every `interval` of physical time (sph_solver.h:138-152)."""
+
+    def __init__(self, interval: float, start: float = 0.0):
+        self.interval = float(interval)
+        self.next_time = start + self.interval
+
+    def __call__(self, t: float) -> bool:
+        if t >= self.next_time - 1e-12:
+            while self.next_time <= t + 1e-12:
+                self.next_time += self.interval
+            return True
+        return False
+
+
+class TriggerByCount:
+    """Fires every n-th call (the reference's iteration-modulo outputs)."""
+
+    def __init__(self, every: int):
+        self.every = int(every)
+        self.count = 0
+
+    def __call__(self, *_):
+        self.count += 1
+        return self.count % self.every == 0
+
+
+class EventScheduler:
+    """Priority queue of (time, callback) one-shot events (sph_solver.h:41)."""
+
+    def __init__(self):
+        self._heap: List = []
+        self._n = 0
+
+    def schedule(self, t: float, fn: Callable):
+        heapq.heappush(self._heap, (t, self._n, fn))
+        self._n += 1
+
+    def next_time(self, default: float) -> float:
+        return self._heap[0][0] if self._heap else default
+
+    def fire_due(self, t: float):
+        while self._heap and self._heap[0][0] <= t + 1e-12:
+            _, _, fn = heapq.heappop(self._heap)
+            fn(t)
+
+
+class PhaseTimer:
+    """Wall-clock accumulation per named phase (TickCount/TimeInterval)."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = {}
+
+    class _Ctx:
+        def __init__(self, timer, name):
+            self.timer, self.name = timer, name
+
+        def __enter__(self):
+            self.t0 = time.perf_counter()
+
+        def __exit__(self, *exc):
+            self.timer.totals[self.name] = self.timer.totals.get(
+                self.name, 0.0) + time.perf_counter() - self.t0
+
+    def phase(self, name: str):
+        return self._Ctx(self, name)
+
+    def report(self) -> str:
+        total = sum(self.totals.values())
+        lines = [f"Total wall time for computation: {total:.3f} s"]
+        for k, v in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            lines.append(f"  {k}: {v:.3f} s")
+        return "\n".join(lines)
+
+
+def run_simulation(run_chunk, sim, end_time: float, output_interval: float,
+                   on_output: Callable | None = None,
+                   check_overflow: bool = True, verbose: bool = True):
+    """Drive a jitted run_chunk to end_time, firing `on_output(sim)` every
+    output interval — the standard main-loop shape of every reference case
+    (SURVEY.md §3.2/§3.3).  Returns (sim, PhaseTimer)."""
+    import jax.numpy as jnp
+
+    timer = PhaseTimer()
+    t = float(sim.time)
+    n_out = int(t / output_interval)
+    while t < end_time - 1e-12:
+        target = min((n_out + 1) * output_interval, end_time)
+        with timer.phase("integrate"):
+            sim = run_chunk(sim, jnp.asarray(target, sim.time.dtype))
+            t = float(sim.time)
+        n_out += 1
+        if check_overflow and bool(sim.overflow):
+            raise RuntimeError(
+                "neighbor/block capacity overflow — raise k_max/cap/c_max")
+        with timer.phase("output"):
+            if on_output is not None:
+                on_output(sim)
+        if verbose:
+            print(f"t = {t:.4f} / {end_time}  (adv {int(sim.n_adv)}, "
+                  f"ac {int(sim.n_ac)})", flush=True)
+    return sim, timer
