@@ -279,6 +279,140 @@ def acoustic_step_2nd_half_b(fb, nbr_inner, kernel, dim: int, riemann, dt,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Pallas-backed acoustic steps (2D, Wendland C2, non-periodic): the window
+# sweeps run as fused lane-aligned kernels (ops/pallas_sweep.py); the
+# init/update stages stay in jnp.
+# ---------------------------------------------------------------------------
+
+def pack_wall_ac1(wall_b):
+    """Static wall tensor for the 1st-half Pallas wall sweep."""
+    import jax.numpy as jnp
+
+    m = wall_b["SlotMask"].astype(wall_b["VolumetricMeasure"].dtype)
+    z = jnp.zeros_like(m)
+    return jnp.stack([wall_b["Position"][..., 0], wall_b["Position"][..., 1],
+                      wall_b["VolumetricMeasure"],
+                      wall_b["AverageAcceleration"][..., 0],
+                      wall_b["AverageAcceleration"][..., 1], m, z, z], axis=-1)
+
+
+def pack_wall_ac2(wall_b):
+    """Static wall tensor for the 2nd-half Pallas wall sweep."""
+    import jax.numpy as jnp
+
+    m = wall_b["SlotMask"].astype(wall_b["VolumetricMeasure"].dtype)
+    return jnp.stack([wall_b["Position"][..., 0], wall_b["Position"][..., 1],
+                      wall_b["VolumetricMeasure"],
+                      wall_b["AverageVelocity"][..., 0],
+                      wall_b["AverageVelocity"][..., 1],
+                      wall_b["NormalDirection"][..., 0],
+                      wall_b["NormalDirection"][..., 1], m], axis=-1)
+
+
+def acoustic_step_1st_half_pallas(fb, nbr_inner, kernel, eos, riemann, dt,
+                                  wall_packed=None, nbr_wall=None,
+                                  tile_c: int = 128, interpret: bool = False):
+    """Pallas variant of acoustic_step_1st_half_b (2D WendlandC2 only)."""
+    from sphinxsys_tpu.ops import pallas_sweep as ps
+
+    out = dict(fb)
+    mask = fb["SlotMask"]
+    rho = jnp.where(mask, fb["Density"] + fb["DensityChangeRate"] * (0.5 * dt),
+                    fb["Density"])
+    p = eos.pressure(rho)
+    pos = fb["Position"] + jnp.where(mask[..., None], fb["Velocity"] * (0.5 * dt), 0.0)
+    vol = fb["VolumetricMeasure"]
+    c = nbr_inner.shape[0]
+
+    packed = ps.pack_state_2d(pos, fb["Velocity"], p, vol, mask)
+    force, rd = ps.ac1_inner_sweep(
+        packed, nbr_inner, kernel_h=kernel.h, factor_w=kernel._factor_w(2),
+        inv_rho0c0_ave=riemann.inv_rho0c0_ave, tile_c=tile_c,
+        interpret=interpret)
+
+    if wall_packed is not None:
+        acc_prior = fb["ForcePrior"] / jnp.maximum(fb["Mass"], TINY)[..., None]
+        fm = mask.astype(p.dtype)
+        zi = jnp.zeros_like(p)
+        packed_i = jnp.stack([pos[..., 0], pos[..., 1], p, rho,
+                              acc_prior[..., 0], acc_prior[..., 1], fm, zi],
+                             axis=-1)
+        force_w, rd_w = ps.ac1_wall_sweep(
+            packed_i, wall_packed, nbr_wall, kernel_h=kernel.h,
+            factor_w=kernel._factor_w(2),
+            inv_rho0c0_ave=riemann.inv_rho0c0_ave, tile_c=tile_c,
+            interpret=interpret)
+        force = force + force_w
+        rd = rd + rd_w
+
+    pad_v = fb["Force"][c:]
+    force_total = fb["Force"] + jnp.concatenate(
+        [force * vol[:c][..., None], jnp.zeros_like(pad_v)], axis=0)
+    drho_dt = jnp.concatenate([rd * rho[:c], fb["DensityChangeRate"][c:]], axis=0)
+    vel = fb["Velocity"] + jnp.where(
+        mask[..., None],
+        (fb["ForcePrior"] + force_total) / jnp.maximum(fb["Mass"], TINY)[..., None] * dt,
+        0.0)
+    out.update({"Density": rho, "Pressure": p, "Position": pos,
+                "Force": force_total, "DensityChangeRate": drho_dt, "Velocity": vel})
+    return out
+
+
+def acoustic_step_2nd_half_pallas(fb, nbr_inner, kernel, riemann, dt,
+                                  wall_packed=None, nbr_wall=None,
+                                  tile_c: int = 128, interpret: bool = False):
+    """Pallas variant of acoustic_step_2nd_half_b (2D WendlandC2 only).
+    Inner uses `riemann` (its limiter/geo coefficients); the wall term uses
+    the same solver, matching the reference aliases."""
+    from sphinxsys_tpu.ops import pallas_sweep as ps
+
+    out = dict(fb)
+    mask = fb["SlotMask"]
+    pos = fb["Position"] + jnp.where(mask[..., None], fb["Velocity"] * (0.5 * dt), 0.0)
+    vel = fb["Velocity"]
+    rho = fb["Density"]
+    vol = fb["VolumetricMeasure"]
+    c = nbr_inner.shape[0]
+
+    packed = ps.pack_state_2d(pos, vel, fb["Pressure"], vol, mask)
+    from sphinxsys_tpu.physics.riemann import (
+        AcousticRiemannSolver, DissipativeRiemannSolver)
+
+    if isinstance(riemann, DissipativeRiemannSolver):
+        geo, limiter = riemann.rho0c0_geo_ave, 1.0e30  # NoLimiter == 1
+    elif isinstance(riemann, AcousticRiemannSolver):
+        geo, limiter = riemann.rho0c0_geo_ave, riemann.limiter_coeff
+    else:  # NoRiemannSolver: no pressure dissipation
+        geo, limiter = 0.0, 1.0
+    dcr, pdiss = ps.ac2_inner_sweep(
+        packed, nbr_inner, kernel_h=kernel.h, factor_w=kernel._factor_w(2),
+        rho0c0_geo=geo, inv_c0=riemann.inv_c0_ave, limiter_coeff=limiter,
+        tile_c=tile_c, interpret=interpret)
+
+    if wall_packed is not None:
+        fm = mask.astype(rho.dtype)
+        zi = jnp.zeros_like(rho)
+        packed_i = jnp.stack([pos[..., 0], pos[..., 1], vel[..., 0],
+                              vel[..., 1], fm, zi, zi, zi], axis=-1)
+        dcr_w, pdiss_w = ps.ac2_wall_sweep(
+            packed_i, wall_packed, nbr_wall, kernel_h=kernel.h,
+            factor_w=kernel._factor_w(2), rho0c0_geo=geo,
+            inv_c0=riemann.inv_c0_ave, limiter_coeff=limiter, tile_c=tile_c,
+            interpret=interpret)
+        dcr = dcr + dcr_w
+        pdiss = pdiss + pdiss_w
+
+    force = pdiss * vol[:c][..., None]
+    drho_dt = fb["DensityChangeRate"] + jnp.concatenate(
+        [dcr * rho[:c], jnp.zeros_like(rho[c:])], axis=0)
+    force_full = jnp.concatenate([force, jnp.zeros_like(vel[c:])], axis=0)
+    rho_new = jnp.where(mask, rho + drho_dt * (0.5 * dt), rho)
+    out.update({"Position": pos, "DensityChangeRate": drho_dt,
+                "Force": force_full, "Density": rho_new})
+    return out
+
+
 # kept for compatibility with tests/other ops
 def sweep_geometry(pos_qb, mask_qb, pos_sb, mask_sb, nbr_block, w, kernel,
                    dim: int, box, exclude_self: bool):
