@@ -60,6 +60,9 @@ class BlockCase:
     bm_wall: BlockMap
     cap: int
     c_max: int
+    use_pallas: bool = False
+    wall_packed1: Any = None  # packed wall tensor for the 1st-half sweep
+    wall_packed2: Any = None  # packed wall tensor for the 2nd-half sweep
 
     @property
     def grid(self):
@@ -77,10 +80,16 @@ def _slot_mask_2d(bm: BlockMap):
 
 
 def build_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 16,
-               c_max: int | None = None):
+               c_max: int | None = None, use_pallas: bool = False):
+    """`use_pallas=True` runs the acoustic pair sweeps as fused Pallas
+    kernels (TPU, 2D, Wendland C2 — ops/pallas_sweep.py)."""
     base, fluid = db.build_case(dx=dx, dtype=dtype)
-    c_max = c_max or max(base.n_fluid // 4, 256)
-    c_max_w = max(base.n_wall // 4, 256)
+
+    def _round32(n):
+        return ((n + 31) // 32) * 32
+
+    c_max = _round32(c_max or max(base.n_fluid // 4, 256))
+    c_max_w = _round32(max(base.n_wall // 4, 256))
 
     # static wall blocks (jitted: eager remote-TPU dispatch is latency-bound)
     @jax.jit
@@ -96,8 +105,14 @@ def build_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 16,
 
     bm_wall, wall_b = _build_wall()
 
+    wall_packed1 = wall_packed2 = None
+    if use_pallas:
+        wall_packed1 = jax.jit(fbops.pack_wall_ac1)(wall_b)
+        wall_packed2 = jax.jit(fbops.pack_wall_ac2)(wall_b)
+
     case = BlockCase(base=base, wall_b=wall_b, bm_wall=bm_wall, cap=cap,
-                     c_max=c_max)
+                     c_max=c_max, use_pallas=use_pallas,
+                     wall_packed1=wall_packed1, wall_packed2=wall_packed2)
     return case, fluid
 
 
@@ -152,12 +167,20 @@ def _advection_step(case: BlockCase, s: BlockSim) -> BlockSim:
     def ac_body(carry):
         f, rt, k = carry
         dt = fbops.acoustic_time_step_b(f, base.eos, h)
-        f = fbops.acoustic_step_1st_half_b(f, s.nbr_inner, kernel, dim,
-                                           base.eos, base.riemann, dt,
-                                           wall_b=case.wall_b, nbr_wall=s.nbr_wall)
-        f = fbops.acoustic_step_2nd_half_b(f, s.nbr_inner, kernel, dim,
-                                           base.riemann, dt,
-                                           wall_b=case.wall_b, nbr_wall=s.nbr_wall)
+        if case.use_pallas:
+            f = fbops.acoustic_step_1st_half_pallas(
+                f, s.nbr_inner, kernel, base.eos, base.riemann, dt,
+                wall_packed=case.wall_packed1, nbr_wall=s.nbr_wall)
+            f = fbops.acoustic_step_2nd_half_pallas(
+                f, s.nbr_inner, kernel, base.riemann, dt,
+                wall_packed=case.wall_packed2, nbr_wall=s.nbr_wall)
+        else:
+            f = fbops.acoustic_step_1st_half_b(
+                f, s.nbr_inner, kernel, dim, base.eos, base.riemann, dt,
+                wall_b=case.wall_b, nbr_wall=s.nbr_wall)
+            f = fbops.acoustic_step_2nd_half_b(
+                f, s.nbr_inner, kernel, dim, base.riemann, dt,
+                wall_b=case.wall_b, nbr_wall=s.nbr_wall)
         return (f, rt + dt, k + 1)
 
     fb, relax_t, n_ac = jax.lax.while_loop(

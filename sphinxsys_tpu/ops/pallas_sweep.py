@@ -131,7 +131,7 @@ def _tiles(c, tile):
                                              "inv_rho0c0_ave", "tile_c",
                                              "interpret"))
 def ac1_inner_sweep(packed, nbr, kernel_h: float, factor_w: float,
-                    inv_rho0c0_ave: float, tile_c: int = 128,
+                    inv_rho0c0_ave: float, tile_c: int = 32,
                     interpret: bool = False):
     """1st-half inner sweep.  packed: (C+1, CAP, CH) with channel layout
     above; nbr: (C, NW).  Returns (force (C, CAP, 2), rho_diss (C, CAP))."""
@@ -172,7 +172,7 @@ def ac1_inner_sweep(packed, nbr, kernel_h: float, factor_w: float,
                                              "interpret"))
 def ac2_inner_sweep(packed, nbr, kernel_h: float, factor_w: float,
                     rho0c0_geo: float, inv_c0: float, limiter_coeff: float,
-                    tile_c: int = 128, interpret: bool = False):
+                    tile_c: int = 32, interpret: bool = False):
     """2nd-half inner sweep.  Returns (dcr (C, CAP), p_diss (C, CAP, 2))."""
     c = nbr.shape[0]
     xj = packed[nbr]
@@ -322,7 +322,7 @@ def _wall_sweep_call(kern, xi, xj, c, tile_c, interpret, n_out=3):
                                              "inv_rho0c0_ave", "tile_c",
                                              "interpret"))
 def ac1_wall_sweep(packed_i, wall_packed, nbr_wall, kernel_h: float,
-                   factor_w: float, inv_rho0c0_ave: float, tile_c: int = 128,
+                   factor_w: float, inv_rho0c0_ave: float, tile_c: int = 32,
                    interpret: bool = False):
     """packed_i: (C, CAP, CH) [x,y,p,rho,ax,ay,mask,0];
     wall_packed: (Cw+1, CAP, CH) [x,y,vol,ax,ay,mask,0,0]."""
@@ -341,7 +341,7 @@ def ac1_wall_sweep(packed_i, wall_packed, nbr_wall, kernel_h: float,
                                              "interpret"))
 def ac2_wall_sweep(packed_i, wall_packed, nbr_wall, kernel_h: float,
                    factor_w: float, rho0c0_geo: float, inv_c0: float,
-                   limiter_coeff: float, tile_c: int = 128,
+                   limiter_coeff: float, tile_c: int = 32,
                    interpret: bool = False):
     """packed_i: (C, CAP, CH) [x,y,vx,vy,mask,0,0,0];
     wall_packed: (Cw+1, CAP, CH) [x,y,vol,vax,vay,nx,ny,mask]."""
