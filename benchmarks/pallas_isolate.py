@@ -68,3 +68,30 @@ for tc in (32, 64):
         bench(f"kernel only tile_c={tc}", kernel_only(tc), xi, xj)
     except Exception as e:
         print(f"tile_c={tc}: {type(e).__name__}: {str(e)[:120]}", flush=True)
+
+# composed (same code path as production ac1_inner_sweep)
+@jax.jit
+def composed(packed, nbr):
+    return ps.ac1_inner_sweep(packed, nbr, kernel_h=0.1, factor_w=55.7,
+                              inv_rho0c0_ave=0.1, tile_c=32)
+
+bench("composed gather+kernel", composed, packed, nbr)
+
+# composed with explicit materialization barrier
+@jax.jit
+def composed_barrier(packed, nbr):
+    xj = jax.lax.optimization_barrier(packed[nbr])
+    xi = packed[:C]
+    kern = functools.partial(ps._ac1_kernel, inv_h=10.0, factor_w=55.7,
+                             inv_rho0c0_ave=0.1)
+    return pl.pallas_call(
+        kern, grid=(C // 32,),
+        in_specs=[
+            pl.BlockSpec((32, 16, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 9, 16, 8), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((32, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((C, 16), jnp.float32)] * 3,
+    )(xi, xj)
+
+bench("composed with opt barrier", composed_barrier, packed, nbr)

@@ -42,7 +42,11 @@ def dim_of(state: State) -> int:
 
 
 def valid_mask(state: State) -> jnp.ndarray:
-    """(N,) bool — True for real particles."""
+    """(N,) bool — True for real particles.  Open-boundary bodies carry an
+    explicit "Alive" mask (physics/boundary.py); otherwise validity is the
+    index < NReal prefix."""
+    if "Alive" in state:
+        return state["Alive"]
     n = capacity_of(state)
     return jnp.arange(n) < state[N_REAL]
 

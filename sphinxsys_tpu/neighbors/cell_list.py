@@ -149,11 +149,13 @@ def build_cell_table(pos, n_real, grid: CellGrid, cap: int) -> CellTable:
     """Count-sort the particles into the dense cell table.
 
     pos:    (N, dim) positions (padding rows may be garbage/far away)
-    n_real: int32 scalar — rows >= n_real are ignored
+    n_real: int32 scalar (rows >= n_real ignored) OR a (N,) bool validity
+            mask (for open boundaries where alive particles are not a
+            contiguous prefix)
     """
     n = pos.shape[0]
     ncells = grid.ncells
-    valid = jnp.arange(n) < n_real
+    valid = n_real if getattr(n_real, "ndim", 0) == 1 else jnp.arange(n) < n_real
     cid = jnp.where(valid, grid.cell_id(pos), ncells)
     order = jnp.argsort(cid)  # stable: preserves index order within a cell
     sorted_cid = cid[order]

@@ -53,7 +53,8 @@ def build_neighbor_list(
 ) -> NeighborList:
     """Find all source particles within `cutoff` of each query particle.
 
-    pos_q: (Nq, dim) query positions; rows >= n_real_q ignored.
+    pos_q: (Nq, dim) query positions; rows >= n_real_q ignored (n_real_q may
+           also be a (Nq,) bool validity mask for open-boundary bodies).
     pos_s: (Ns, dim) source positions, already count-sorted into `table`.
     include_self: False for inner relations (q is the same body as s).
     """
@@ -62,7 +63,8 @@ def build_neighbor_list(
     ncells = grid.ncells
     cap = table.table.shape[1]
 
-    q_valid = jnp.arange(nq) < n_real_q
+    q_valid = (n_real_q if getattr(n_real_q, "ndim", 0) == 1
+               else jnp.arange(nq) < n_real_q)
     coords = grid.cell_coords(pos_q)  # (Nq, dim)
     gshape = jnp.asarray(grid.shape, dtype=jnp.int32)
     periodic = grid.periodic or (False,) * dim

@@ -312,7 +312,7 @@ def pack_wall_ac2(wall_b):
 
 def acoustic_step_1st_half_pallas(fb, nbr_inner, kernel, eos, riemann, dt,
                                   wall_packed=None, nbr_wall=None,
-                                  tile_c: int = 128, interpret: bool = False):
+                                  tile_c: int = 32, interpret: bool = False):
     """Pallas variant of acoustic_step_1st_half_b (2D WendlandC2 only)."""
     from sphinxsys_tpu.ops import pallas_sweep as ps
 
@@ -361,7 +361,7 @@ def acoustic_step_1st_half_pallas(fb, nbr_inner, kernel, eos, riemann, dt,
 
 def acoustic_step_2nd_half_pallas(fb, nbr_inner, kernel, riemann, dt,
                                   wall_packed=None, nbr_wall=None,
-                                  tile_c: int = 128, interpret: bool = False):
+                                  tile_c: int = 32, interpret: bool = False):
     """Pallas variant of acoustic_step_2nd_half_b (2D WendlandC2 only).
     Inner uses `riemann` (its limiter/geo coefficients); the wall term uses
     the same solver, matching the reference aliases."""
