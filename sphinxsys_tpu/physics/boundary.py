@@ -74,16 +74,19 @@ def disposer_outflow_deletion(state: State, region: AlignedBoxRegion) -> State:
 
 def emitter_inflow_injection(state: State, region: AlignedBoxRegion,
                              fields=_PARTICLE_FIELDS_HINT,
+                             prev_pos=None,
                              crossing_band: float | None = None) -> State:
     """EmitterInflowInjection: emitter-region particles whose `axis`
     coordinate just crossed the emitter's downstream plane are recycled
     back by the emitter length, and a clone of their pre-wrap state is
     activated in a dead slot (the new "real" particle entering the domain).
 
-    `crossing_band` bounds how far past the plane a particle can be and
-    still count as "just crossed" (defaults to half the emitter length) —
-    the reference restricts the check to the emitter body part instead
-    (fluid_boundary.h BodyAlignedBoxByParticle)."""
+    "Just crossed" means prev_pos <= plane < pos when `prev_pos` (the
+    positions before this step's advection) is given — pass it whenever
+    available, otherwise a particle sitting in the `crossing_band` past
+    the plane (default band: half the emitter length) respawns every call.
+    (The reference restricts the check to the emitter body part instead,
+    fluid_boundary.h BodyAlignedBoxByParticle.)"""
     out = ensure_alive_mask(state)
     pos = out["Position"]
     alive = out["Alive"]
@@ -101,7 +104,11 @@ def emitter_inflow_injection(state: State, region: AlignedBoxRegion,
         if d != axis:
             transverse &= (pos[:, d] >= lo_v[d]) & (pos[:, d] <= hi_v[d])
 
-    crossed = alive & transverse & (pos[:, axis] > hi) & (pos[:, axis] <= hi + band)
+    crossed = alive & transverse & (pos[:, axis] > hi)
+    if prev_pos is not None:
+        crossed &= prev_pos[:, axis] <= hi
+    else:
+        crossed &= pos[:, axis] <= hi + band
     n = pos.shape[0]
 
     # allocate dead slots for the clones, deterministically (rank of each
