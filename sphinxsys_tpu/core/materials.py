@@ -144,6 +144,57 @@ class SaintVenantKirchhoffSolid(ElasticSolid):
 
 
 @dataclasses.dataclass(frozen=True)
+class Muscle(ElasticSolid):
+    """Holzapfel-Ogden-type anisotropic muscle (elastic_solid.cpp
+    Muscle::StressPK2): exponential isotropic + fiber + sheet + fiber-sheet
+    invariant terms over reference directions f0/s0, plus a volumetric
+    penalty.  a0/b0 follow the reference's 4-entry convention
+    (iso, fiber, sheet, fiber-sheet)."""
+
+    bulk_modulus_param: float = 1.0
+    f0: tuple = (1.0, 0.0)
+    s0: tuple = (0.0, 1.0)
+    a0: tuple = (1.0, 0.0, 0.0, 0.0)
+    b0: tuple = (1.0, 0.0, 0.0, 0.0)
+
+    @property
+    def lambda0(self) -> float:
+        # Lame lambda from the bulk penalty: lambda = K - 2G/dim with the
+        # reference's G = a0[0] exp(b0[0]) convention folded into the
+        # isotropic term; use K-based lambda directly
+        return self.bulk_modulus_param
+
+    @property
+    def sound_speed(self) -> float:
+        import math
+
+        return math.sqrt(self.bulk_modulus_param / self.rho0)
+
+    def stress_PK2(self, F):
+        dim = F.shape[-1]
+        eye = jnp.eye(dim, dtype=F.dtype)
+        C = jnp.swapaxes(F, -1, -2) @ F
+        f0 = jnp.asarray(self.f0, dtype=F.dtype)
+        s0 = jnp.asarray(self.s0, dtype=F.dtype)
+        f0f0 = jnp.outer(f0, f0)
+        s0s0 = jnp.outer(s0, s0)
+        f0s0 = jnp.outer(f0, s0) + jnp.outer(s0, f0)
+        I_ff = jnp.einsum("...ij,j,i->...", C, f0, f0) - 1.0
+        I_ss = jnp.einsum("...ij,j,i->...", C, s0, s0) - 1.0
+        I_fs = jnp.einsum("...ij,j,i->...", C, f0, s0)
+        I_1 = jnp.trace(C, axis1=-2, axis2=-1) - dim
+        J = jnp.linalg.det(F)
+        Cinv = jnp.linalg.inv(C)
+        a, b = self.a0, self.b0
+        lam = self.lambda0
+        return (a[0] * jnp.exp(b[0] * I_1))[..., None, None] * eye + \
+            ((lam * (J - 1.0) - a[0]) * J)[..., None, None] * Cinv + \
+            (2.0 * a[1] * I_ff * jnp.exp(b[1] * I_ff * I_ff))[..., None, None] * f0f0 + \
+            (2.0 * a[2] * I_ss * jnp.exp(b[2] * I_ss * I_ss))[..., None, None] * s0s0 + \
+            (a[3] * I_fs * jnp.exp(b[3] * I_fs * I_fs))[..., None, None] * f0s0
+
+
+@dataclasses.dataclass(frozen=True)
 class NeoHookeanSolid(ElasticSolid):
     """Compressible Neo-Hookean (elastic_solid.h NeoHookeanSolid):
         S = G J^{-2/3} (I - tr(C)/dim * C^{-1}) + K J (J-1) C^{-1}

@@ -145,6 +145,8 @@ class AlievPanfilowModel:
 
     @property
     def species_names(self):
+        if self.k_a != 0.0:
+            return ("Voltage", "GateVariable", "ActiveContractionStress")
         return ("Voltage", "GateVariable")
 
     def rates(self, name: str, species: Dict[str, jnp.ndarray]):
@@ -157,6 +159,13 @@ class AlievPanfilowModel:
             g = self.epsilon + self.mu_1 * w / (self.mu_2 + v + TINY)
             production = -g * self.k * v * (v - self.b - 1.0)
             loss = g
+        elif name == "ActiveContractionStress":
+            # excitation-contraction coupling
+            # (electro_physiology.cpp getProduction/LossRateActiveContractionStress)
+            v_dim = v * 100.0 - 80.0
+            factor = 0.1 + 0.9 * jnp.exp(-jnp.exp(-v_dim))
+            production = factor * self.k_a * (v_dim + 80.0)
+            loss = factor
         else:
             raise KeyError(name)
         return production, loss
