@@ -9,15 +9,17 @@ factor, and the pair interaction exchanges resultant stress, moment and
 shear (thin_structure_dynamics.h:44-378).
 
 Like total-Lagrangian solids, the topology is the frozen initial
-configuration (ReferencePairs).  2D only in round 1: rotation is the
-scalar angle about z (stored in component 0 of the (N, dim) Rotation
-array, as in the reference's Vec2d convention); 3D needs the two-angle
-rotation algebra of thin_structure_math_3d (next round).
+configuration (ReferencePairs).  Rotation DOFs follow the reference's
+angle convention (thin_structure_math.cpp): 2D stores the angle about z
+in component 0; 3D stores (theta_x, theta_y, 0) and the local pseudo
+normal is Ry(theta_y) Rx(theta_x) e_n.
 
 Local frames: transformation_matrix0 = Q0 maps global -> initial local
-(local y = initial normal; vector_functions.cpp getTransformationMatrix):
-    Q0 = [[ n_y, -n_x],
-          [ n_x,  n_y]]
+with the LAST local axis along the initial normal
+(vector_functions.cpp getTransformationMatrix):
+    2D: Q0 = [[ n_y, -n_x],
+              [ n_x,  n_y]]       (local y = normal)
+    3D: the z->n Rodrigues rotation, rows = the local axes (local z = n)
 F, F_bending, B, rotation live in the initial local frame; positions,
 velocities, pseudo normals, global stress/moment in the global frame.
 """
@@ -95,6 +97,109 @@ def rotation_accel_from_pseudo_normal_2d(a_local, theta, omega):
         s * (a_local[..., 1] + c * omega * omega)
 
 
+# ---------------------------------------------------------------------------
+# 3D rotation algebra (thin_structure_math.cpp, Vec3d overloads)
+# ---------------------------------------------------------------------------
+
+def transformation_matrix_3d(n):
+    """(N,3) normals -> (N,3,3) global->local maps: the z->n Rodrigues
+    rotation, rows = local axes (vector_functions.cpp:111-127)."""
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    temp = 1.0 + nz
+    frac = temp / (temp * temp + TINY)
+    row0 = jnp.stack([nz + ny * ny * frac, -nx * ny * frac, -nx], axis=-1)
+    row1 = jnp.stack([-nx * ny * frac, nz + nx * nx * frac, -ny], axis=-1)
+    row2 = jnp.stack([nx, ny, nz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def rotate_pseudo_normal_3d(rot):
+    """Ry(theta_1) Rx(theta_0) e_z = (sin t1 cos t0, -sin t0, cos t0 cos t1)
+    (getVectorAfterThinStructureRotation, Vec3d)."""
+    s0, c0 = jnp.sin(rot[..., 0]), jnp.cos(rot[..., 0])
+    s1, c1 = jnp.sin(rot[..., 1]), jnp.cos(rot[..., 1])
+    return jnp.stack([s1 * c0, -s0, c0 * c1], axis=-1)
+
+
+def pseudo_normal_rate_3d(rot, angvel):
+    """(getVectorChangeRateAfterThinStructureRotation, Vec3d)."""
+    s0, c0 = jnp.sin(rot[..., 0]), jnp.cos(rot[..., 0])
+    s1, c1 = jnp.sin(rot[..., 1]), jnp.cos(rot[..., 1])
+    w0, w1 = angvel[..., 0], angvel[..., 1]
+    return jnp.stack([-s0 * s1 * w0 + c0 * c1 * w1,
+                      -c0 * w0,
+                      -s0 * c1 * w0 - c0 * s1 * w1], axis=-1)
+
+
+def rotation_accel_from_pseudo_normal_3d(a_local, rot, angvel):
+    """(domega0/dt, domega1/dt) from the local pseudo-normal acceleration
+    (getRotationFromPseudoNormal, Vec3d overload)."""
+    a0, a1, a2 = a_local[..., 0], a_local[..., 1], a_local[..., 2]
+    s0, c0 = jnp.sin(rot[..., 0]), jnp.cos(rot[..., 0])
+    s1, c1 = jnp.sin(rot[..., 1]), jnp.cos(rot[..., 1])
+    w0, w1 = angvel[..., 0], angvel[..., 1]
+
+    r0a = -(a2 * c1 + a0 * s1 + w1 * w1 * c0 + w0 * w0 * c0)
+    r0b = s0 * w0 * w0 - a1
+    acc0 = s0 * r0a + c0 * r0b
+
+    r1a = a0 * c1 - a2 * s1 + 2.0 * w1 * w0 * s0
+    r1b1 = (a0 * c0 + w1 * w1 * c0 * c0 * s1 + w0 * w0 * s1
+            - a1 * s1 * s0 + 2.0 * w1 * w0 * c1 * c0 * s0)
+    r1b2 = -(a2 * c0 + w1 * w1 * c1 * c0 * c0 + w0 * w0 * c1
+             - a1 * c1 * s0 - 2.0 * w1 * w0 * c0 * s1 * s0)
+    acc1 = (r1a * r1a * (r1b1 * c1 + r1b2 * s1)
+            / (r1b1 * r1b1 + r1b2 * r1b2 + TINY))
+    return jnp.stack([acc0, acc1, jnp.zeros_like(acc0)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# dimension dispatch
+# ---------------------------------------------------------------------------
+
+def transformation_matrix(n, dim: int):
+    return transformation_matrix_2d(n) if dim == 2 else transformation_matrix_3d(n)
+
+
+def rotate_pseudo_normal(rot, dim: int):
+    """Local pseudo normal from the rotation angles, padded to (N, dim)."""
+    if dim == 2:
+        return rotate_pseudo_normal_2d(rot[..., 0])
+    return rotate_pseudo_normal_3d(rot)
+
+
+def pseudo_normal_rate(rot, angvel, dim: int):
+    if dim == 2:
+        return pseudo_normal_rate_2d(rot[..., 0], angvel[..., 0])
+    return pseudo_normal_rate_3d(rot, angvel)
+
+
+def rotation_accel_from_pseudo_normal(a_local, rot, angvel, dim: int):
+    """(N, dim) angular acceleration; unused trailing components zero."""
+    if dim == 2:
+        acc = rotation_accel_from_pseudo_normal_2d(a_local, rot[..., 0],
+                                                   angvel[..., 0])
+        return jnp.stack([acc, jnp.zeros_like(acc)], axis=-1)
+    return rotation_accel_from_pseudo_normal_3d(a_local, rot, angvel)
+
+
+def correction_matrix(A_local, dim: int):
+    """getCorrectionMatrix: inverse of the in-plane block, normal row/col
+    zero (thin_structure_math.cpp:180-194)."""
+    B = jnp.zeros_like(A_local)
+    if dim == 2:
+        return B.at[..., 0, 0].set(1.0 / A_local[..., 0, 0])
+    inv2 = jnp.linalg.inv(A_local[..., :2, :2])
+    return B.at[..., :2, :2].set(inv2)
+
+
+def corrected_almansi_strain(almansi, nu, dim: int):
+    """Plane-stress correction: eps_nn = -nu * tr_inplane / (1-nu)
+    (getCorrectedAlmansiStrain)."""
+    tr_inplane = jnp.einsum("...kk->...", almansi[..., :dim - 1, :dim - 1])
+    return almansi.at[..., dim - 1, dim - 1].set(-nu * tr_inplane / (1.0 - nu))
+
+
 def make_shell_state(pos, normal, spacing: float, thickness: float, material,
                      dtype=jnp.float32) -> State:
     """Shell particle state (SurfaceParticles variables,
@@ -107,7 +212,6 @@ def make_shell_state(pos, normal, spacing: float, thickness: float, material,
 
     pos = np.asarray(pos)
     n, dim = pos.shape
-    assert dim == 2, "3D shells land in round 2 (thin_structure_math_3d)"
     vol = spacing ** (dim - 1)
     state = dict(make_base_state(pos, vol, material.rho0, dtype=dtype))
     normal = jnp.asarray(np.asarray(normal), dtype=dtype)
@@ -136,24 +240,23 @@ def make_shell_state(pos, normal, spacing: float, thickness: float, material,
         "GlobalFBending": jnp.zeros((n, dim, dim), dtype=dtype),
         "MidSurfaceCauchyStress": jnp.zeros((n, dim, dim), dtype=dtype),
         "PseudoNormalRate": zeros_v,
-        "TransformationMatrix0": transformation_matrix_2d(normal),
+        "TransformationMatrix0": transformation_matrix(normal, dim),
     })
     return state
 
 
 def shell_correct_configuration(shell: State, rp: ReferencePairs) -> State:
     """ShellCorrectConfiguration (thin_structure_dynamics.h:89-105): B from
-    the LOCAL in-plane configuration; in 2D B = diag(1/A_00, 0)."""
+    the LOCAL in-plane configuration (getCorrectionMatrix)."""
     out = dict(shell)
+    dim = shell["Position"].shape[-1]
     vol_j, _ = gather(shell["VolumetricMeasure"], rp.idx)
     grad = (rp.dW * vol_j * rp.mask)[..., None] * rp.e
     r_ji = -rp.r[..., None] * rp.e
-    A = jnp.einsum("nki,nkj->nij", r_ji, grad) + 1e-7 * jnp.eye(2, dtype=grad.dtype)
+    A = jnp.einsum("nki,nkj->nij", r_ji, grad) + 1e-7 * jnp.eye(dim, dtype=grad.dtype)
     Q0 = shell["TransformationMatrix0"]
     A_local = Q0 @ A @ jnp.swapaxes(Q0, -1, -2)
-    B = jnp.zeros_like(A)
-    B = B.at[..., 0, 0].set(1.0 / A_local[..., 0, 0])
-    out["LinearGradientCorrectionMatrix"] = B
+    out["LinearGradientCorrectionMatrix"] = correction_matrix(A_local, dim)
     return out
 
 
@@ -170,7 +273,7 @@ def shell_stress_relaxation_1st_half(shell: State, rp: ReferencePairs,
     initialization through-thickness Gauss integration + pair interaction
     exchanging resultant stress/moment/shear + velocity/rotation kick)."""
     out = dict(shell)
-    dim = 2
+    dim = shell["Position"].shape[-1]
     rho0 = material.rho0
     nu = material.poisson_ratio
     G0 = material.shear_modulus
@@ -183,8 +286,8 @@ def shell_stress_relaxation_1st_half(shell: State, rp: ReferencePairs,
 
     # ---- initialization ----------------------------------------------------
     pos = shell["Position"] + shell["Velocity"] * (0.5 * dt)
-    theta = shell["Rotation"][..., 0] + shell["AngularVelocity"][..., 0] * (0.5 * dt)
-    pseudo_n = jnp.einsum("nij,nj->ni", Q0T, rotate_pseudo_normal_2d(theta))
+    rot = shell["Rotation"] + shell["AngularVelocity"] * (0.5 * dt)
+    pseudo_n = jnp.einsum("nij,nj->ni", Q0T, rotate_pseudo_normal(rot, dim))
     F = shell["DeformationGradient"] + shell["DeformationRate"] * (0.5 * dt)
     Fb = shell["BendingDeformationGradient"] + shell["BendingDeformationRate"] * (0.5 * dt)
     global_F = Q0T @ F @ Q0
@@ -193,16 +296,17 @@ def shell_stress_relaxation_1st_half(shell: State, rp: ReferencePairs,
     inv_T_global_F = jnp.swapaxes(jnp.linalg.inv(global_F), -1, -2)
     rho = rho0 / J
 
-    Qc = transformation_matrix_2d(pseudo_n)  # current local frame
+    Qc = transformation_matrix(pseudo_n, dim)  # current local frame
     Q0c = Qc @ Q0T  # initial local -> current local
 
     resultant_stress = jnp.zeros_like(F)
     resultant_moment = jnp.zeros_like(F)
     resultant_shear = jnp.zeros_like(pos)
     mid_cauchy = None
-    # numerical damping scaling (cpp: diag(h, min(thickness, h)))
-    scale_diag = jnp.stack([jnp.full_like(thickness, smoothing_length),
-                            jnp.minimum(thickness, smoothing_length)], axis=-1)
+    # numerical damping scaling (cpp: diag(h, ..., min(thickness, h)))
+    scale_diag = jnp.stack(
+        [jnp.full_like(thickness, smoothing_length)] * (dim - 1)
+        + [jnp.minimum(thickness, smoothing_length)], axis=-1)
     cs0 = math.sqrt(G0 / rho0)
     c0 = material.sound_speed
 
@@ -213,8 +317,8 @@ def shell_stress_relaxation_1st_half(shell: State, rp: ReferencePairs,
         inv_F_g = jnp.linalg.inv(F_g)
         eye = jnp.eye(dim, dtype=F.dtype)
         almansi = Q0c @ (0.5 * (eye - jnp.swapaxes(inv_F_g, -1, -2) @ inv_F_g)) @ jnp.swapaxes(Q0c, -1, -2)
-        # plane-stress correction (thin_structure_math getCorrectedAlmansiStrain 2D)
-        almansi = almansi.at[..., 1, 1].set(-nu * almansi[..., 0, 0] / (1.0 - nu))
+        # plane-stress correction (thin_structure_math getCorrectedAlmansiStrain)
+        almansi = corrected_almansi_strain(almansi, nu, dim)
         cauchy = _stress_cauchy_linear(almansi, lambda0, G0)
         # numerical damping (NumericalDampingRightCauchy with diag scaling)
         strain_rate = 0.5 * (jnp.swapaxes(dF_g, -1, -2) @ F_g + jnp.swapaxes(F_g, -1, -2) @ dF_g)
@@ -255,8 +359,8 @@ def shell_stress_relaxation_1st_half(shell: State, rp: ReferencePairs,
     force = force / (rho0 * thickness)[..., None]
     dpseudo_n_d2t = pseudo_acc * (12.0 / (rho0 * thickness**3))[..., None]
     a_local = jnp.einsum("nij,nj->ni", Q0, dpseudo_n_d2t)
-    omega = shell["AngularVelocity"][..., 0]
-    domega_dt = rotation_accel_from_pseudo_normal_2d(a_local, theta, omega)
+    omega = shell["AngularVelocity"]
+    domega_dt = rotation_accel_from_pseudo_normal(a_local, rot, omega, dim)
 
     # ---- update --------------------------------------------------------------
     vel = shell["Velocity"] + (shell["ForcePrior"] + force) / mass[:, None] * dt
@@ -270,9 +374,9 @@ def shell_stress_relaxation_1st_half(shell: State, rp: ReferencePairs,
         "GlobalShearStress": global_shear,
         "MidSurfaceCauchyStress": mid_cauchy,
         "Force": force,
-        "Rotation": shell["Rotation"].at[..., 0].set(theta),
-        "AngularVelocity": shell["AngularVelocity"].at[..., 0].set(omega_new),
-        "AngularAcceleration": shell["AngularAcceleration"].at[..., 0].set(domega_dt),
+        "Rotation": rot,
+        "AngularVelocity": omega_new,
+        "AngularAcceleration": domega_dt,
         "Velocity": vel,
     })
     return out
@@ -282,15 +386,16 @@ def shell_stress_relaxation_2nd_half(shell: State, rp: ReferencePairs, dt) -> St
     """ShellStressRelaxationSecondHalf: position/rotation drift, deformation
     rate from pair velocity/pseudo-normal-rate gradients, F drift."""
     out = dict(shell)
-    dim = 2
+    dim = shell["Position"].shape[-1]
     Q0 = shell["TransformationMatrix0"]
     Q0T = jnp.swapaxes(Q0, -1, -2)
 
     pos = shell["Position"] + shell["Velocity"] * (0.5 * dt)
-    theta = shell["Rotation"][..., 0] + shell["AngularVelocity"][..., 0] * (0.5 * dt)
-    omega = shell["AngularVelocity"][..., 0]
-    dpseudo_n_dt = jnp.einsum("nij,nj->ni", Q0T, pseudo_normal_rate_2d(theta, omega))
-    pseudo_n = jnp.einsum("nij,nj->ni", Q0T, rotate_pseudo_normal_2d(theta))
+    rot = shell["Rotation"] + shell["AngularVelocity"] * (0.5 * dt)
+    omega = shell["AngularVelocity"]
+    dpseudo_n_dt = jnp.einsum("nij,nj->ni", Q0T,
+                              pseudo_normal_rate(rot, omega, dim))
+    pseudo_n = jnp.einsum("nij,nj->ni", Q0T, rotate_pseudo_normal(rot, dim))
 
     vel = shell["Velocity"]
     vol_j, _ = gather(shell["VolumetricMeasure"], rp.idx)
@@ -308,7 +413,7 @@ def shell_stress_relaxation_2nd_half(shell: State, rp: ReferencePairs, dt) -> St
 
     out.update({
         "Position": pos,
-        "Rotation": shell["Rotation"].at[..., 0].set(theta),
+        "Rotation": rot,
         "PseudoNormal": pseudo_n, "PseudoNormalRate": dpseudo_n_dt,
         "DeformationRate": dF_dt, "BendingDeformationRate": dFb_dt,
         "DeformationGradient": shell["DeformationGradient"] + dF_dt * (0.5 * dt),
@@ -328,8 +433,8 @@ def shell_acoustic_time_step(shell: State, material, smoothing_length: float,
     rho0 = material.rho0
     t0 = jnp.minimum(jnp.sqrt(smoothing_length / (accel + TINY)),
                      smoothing_length / (c0 + v))
-    domega = jnp.abs(shell["AngularAcceleration"][..., 0])
-    omega = jnp.abs(shell["AngularVelocity"][..., 0])
+    domega = jnp.linalg.norm(shell["AngularAcceleration"], axis=-1)
+    omega = jnp.linalg.norm(shell["AngularVelocity"], axis=-1)
     t1 = jnp.minimum(jnp.sqrt(1.0 / (domega + TINY)), 1.0 / (omega + TINY))
     th = shell["Thickness"]
     t2 = smoothing_length * jnp.sqrt(
