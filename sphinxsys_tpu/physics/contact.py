@@ -18,6 +18,8 @@ Accumulated into ForcePrior via fsi.force_prior_update.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from sphinxsys_tpu.core.state import State
@@ -110,7 +112,48 @@ def pairwise_friction_from_wall(solid: State, wall: State, nl: NeighborList,
     tangential = dvel - normal_part
     coeff = -2.0 * eta * pg.dW * vol_j * dt / jnp.maximum(
         solid["Mass"], TINY)[:, None]
-    dv = -jnp.sum(jnp.minimum(coeff, 1.0)[..., None] * tangential, axis=1)
+    coeff = jnp.maximum(coeff, 0.0) * pg.mask
+    # implicit (saturating) Jacobi form: v' = (v + sum c w)/(1 + sum c) so
+    # that eta -> inf removes AT MOST the full pairwise tangential jump —
+    # the reference gets the same boundedness from its sequential
+    # pair-by-pair sweep (contact_friction.h parallel_exec coloring)
+    denom = 1.0 + jnp.sum(coeff, axis=1)
+    dv = -jnp.sum(coeff[..., None] * tangential, axis=1) / denom[:, None]
     out = dict(solid)
     out["Velocity"] = solid["Velocity"] + dv
     return out
+
+
+GAUSS_3_POINTS = (0.0, 0.7745966692414834, -0.7745966692414834)
+GAUSS_3_WEIGHTS = (0.8888888888888889, 0.5555555555555556, 0.5555555555555556)
+
+
+def shell_contact_factor(solid: State, shell: State, nl: NeighborList,
+                         kernel, dim: int, spacing: float,
+                         shell_spacing: float | None = None,
+                         heuristic_limiter: float = 0.1) -> jnp.ndarray:
+    """ShellContactFactor (repulsion_factor_summation.cpp:52-104): the
+    penetration measure against a SURFACE (shell) body.  The kernel sum is
+    offset by W(dp_avg) and rescaled by a calibration factor 1/contact_max,
+    where contact_max is the Gauss-integrated value a flat fully-resolved
+    shell would produce at zero separation — so factor ~ 1 at touch — and
+    damped by the heuristic limiter 0.1 (max contact pressure 0.1 K)."""
+    import jax
+
+    dtype = solid["Position"].dtype
+    dp_shell = spacing if shell_spacing is None else shell_spacing
+    dp_avg = 0.5 * (spacing + dp_shell)
+    with jax.ensure_compile_time_eval():
+        offset = kernel.W(jnp.asarray(dp_avg, dtype), dim)
+        contact_max = jnp.zeros((), dtype)
+        for gp, gw in zip(GAUSS_3_POINTS, GAUSS_3_WEIGHTS):
+            t = gp * dp_avg * 0.5 + dp_avg * 0.5
+            c = 2.0 * (kernel.W(jnp.asarray(t, dtype), dim) - offset) * dp_avg * 0.5 * gw
+            contact_max = (contact_max + (c if dim == 2 else c * math.pi * t)).astype(dtype)
+        calibration = (1.0 / (contact_max + TINY)).astype(dtype)
+
+    pg = pair_geometry(solid["Position"], shell["Position"], nl, kernel, dim,
+                       need_dW=False)
+    vol_j, _ = gather(shell["VolumetricMeasure"], nl.idx)
+    sigma = jnp.sum(jnp.maximum(pg.W - offset, 0.0) * vol_j * pg.mask, axis=1)
+    return heuristic_limiter * sigma * calibration
