@@ -89,10 +89,16 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
                            wall: State | None = None,
                            nl_wall: NeighborList | None = None,
                            wall_riemann=None, box=None,
-                           walls: Sequence[tuple] = ()) -> State:
+                           walls: Sequence[tuple] = (),
+                           contacts: Sequence[tuple] = ()) -> State:
     """`walls`: additional wall-type contacts as (state, neighbor_list)
     pairs (e.g. rigid wall + elastic insert in fsi2.cpp:135-137); the
-    single wall/nl_wall pair is kept for convenience."""
+    single wall/nl_wall pair is kept for convenience.
+
+    `contacts`: fluid-fluid (multi-phase) contacts as (other_state,
+    neighbor_list, cross_riemann) triples — the Integration1stHalf
+    <Contact<>> terms (fluid_integration.hpp:116-157): impedance-weighted
+    interface pressure and cross-phase density dissipation."""
     out = dict(fluid)
     # --- initialization -----------------------------------------------
     rho = fluid["Density"] + fluid["DensityChangeRate"] * (0.5 * dt)
@@ -131,6 +137,20 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
         force_total = force_total + force_w * vol[:, None]
         drho_dt = drho_dt + rho_diss_w * rho
 
+    # --- interaction: fluid-fluid contacts (hpp:132-157) -------------------
+    for cstate, cnl, crs in contacts:
+        pgc = pair_geometry(pos, cstate["Position"], cnl, kernel, dim,
+                            need_W=False, box=box)
+        vol_k, _ = gather(cstate["VolumetricMeasure"], cnl.idx)
+        p_k, _ = gather(cstate["Pressure"], cnl.idx)
+        dWV_c = pgc.dW * vol_k
+        p_star = crs.average_p(p[:, None], p_k)
+        force_c = -jnp.sum((2.0 * p_star * dWV_c)[..., None] * pgc.e, axis=1)
+        rho_diss_c = jnp.sum(crs.dissipative_u_jump(p[:, None] - p_k) * dWV_c,
+                             axis=1)
+        force_total = force_total + force_c * vol[:, None]
+        drho_dt = drho_dt + rho_diss_c * rho
+
     # --- update -----------------------------------------------------------
     vel = fluid["Velocity"] + (fluid["ForcePrior"] + force_total) / fluid["Mass"][:, None] * dt
 
@@ -150,7 +170,8 @@ def acoustic_step_2nd_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
                            wall: State | None = None,
                            nl_wall: NeighborList | None = None,
                            wall_riemann=None, box=None,
-                           walls: Sequence[tuple] = ()) -> State:
+                           walls: Sequence[tuple] = (),
+                           contacts: Sequence[tuple] = ()) -> State:
     out = dict(fluid)
     # --- initialization ---------------------------------------------------
     pos = fluid["Position"] + fluid["Velocity"] * (0.5 * dt)
@@ -190,6 +211,22 @@ def acoustic_step_2nd_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
         p_diss_w = jnp.sum((wr.dissipative_p_jump(u_jump_w) * dWV_w)[..., None] * face_to_fluid_n, axis=1)
         drho_dt = drho_dt + dcr_w * rho
         force = force + p_diss_w * vol[:, None]
+
+    # --- interaction: fluid-fluid contacts (hpp:248-272) ---------------------
+    for cstate, cnl, crs in contacts:
+        pgc = pair_geometry(pos, cstate["Position"], cnl, kernel, dim,
+                            need_W=False, box=box)
+        vol_k, _ = gather(cstate["VolumetricMeasure"], cnl.idx)
+        vel_k, _ = gather(cstate["Velocity"], cnl.idx)
+        dWV_c = pgc.dW * vol_k
+        vel_ave = crs.average_v(vel[:, None, :], vel_k)
+        dcr_c = jnp.sum(2.0 * jnp.sum((vel[:, None, :] - vel_ave) * pgc.e,
+                                      axis=-1) * dWV_c, axis=1)
+        u_jump_c = jnp.sum((vel[:, None, :] - vel_k) * pgc.e, axis=-1)
+        p_diss_c = jnp.sum((crs.dissipative_p_jump(u_jump_c)
+                            * dWV_c)[..., None] * pgc.e, axis=1)
+        drho_dt = drho_dt + dcr_c * rho
+        force = force + p_diss_c * vol[:, None]
 
     # --- update --------------------------------------------------------------
     rho_new = rho + drho_dt * (0.5 * dt)
