@@ -74,11 +74,16 @@ def linear_gradient_correction_matrix(rp: ReferencePairs, vol, alpha: float = 0.
 def integration_1st_half_pk2(solid: State, rp: ReferencePairs, material,
                              dt, smoothing_length: float, w0: float,
                              numerical_dissipation_factor: float = 0.25,
-                             active_stress_fn=None) -> State:
+                             active_stress_fn=None, pk1_fn=None) -> State:
     """`active_stress_fn(solid, F) -> PK2 active stress` implements
     ActiveMuscle / ActiveContractionForce (active_muscle_dynamics,
     complex_solid.h:42-96): typically Ta * fiber outer fiber from the
-    electrophysiology's ActiveContractionStress species."""
+    electrophysiology's ActiveContractionStress species.
+
+    `pk1_fn(solid, F) -> PK1 stress` REPLACES the constitutive evaluation
+    entirely (before the B-matrix correction) — the hook for per-particle
+    composite materials like the fish ActiveModelSolid whose stress is
+    natively first Piola-Kirchhoff (active_model.cpp StressPK1)."""
     out = dict(solid)
     dim = solid["Position"].shape[1]
     rho0 = material.rho0
@@ -89,10 +94,14 @@ def integration_1st_half_pk2(solid: State, rp: ReferencePairs, material,
     F = solid["DeformationGradient"] + solid["DeformationRate"] * (0.5 * dt)
     rho = rho0 / jnp.linalg.det(F)
     B = solid["LinearGradientCorrectionMatrix"]
-    S2 = material.stress_PK2(F)
-    if active_stress_fn is not None:
-        S2 = S2 + active_stress_fn(solid, F)
-    S = (F @ S2) @ jnp.swapaxes(B, -1, -2)  # StressPK1OnParticle
+    if pk1_fn is not None:
+        P = pk1_fn(solid, F)
+    else:
+        S2 = material.stress_PK2(F)
+        if active_stress_fn is not None:
+            S2 = S2 + active_stress_fn(solid, F)
+        P = F @ S2
+    S = P @ jnp.swapaxes(B, -1, -2)  # StressPK1OnParticle
 
     # --- interaction -------------------------------------------------------
     vel = solid["Velocity"]
@@ -236,3 +245,28 @@ def make_elastic_solid_state(pos, volume, material, kernel=None, dtype=jnp.float
         "LinearGradientCorrectionMatrix": eye,
     })
     return state
+
+
+def active_model_pk1(F, active_strain, lambda0, G0):
+    """ActiveModelSolid::StressPK1 (the fish case's active-strain
+    decomposition, tests/2d_examples/test_2d_flow_stream_around_fish/
+    active_model.cpp:21-34): F = F_e F0 with the active part
+    F0 = chol(2 E_a + I); the passive StVK stress acts on the elastic
+    strain E_e = E - E_a and is pushed forward by F0* = det(F0) F0^-T.
+    lambda0/G0 may be per-particle arrays (composite bodies)."""
+    dim = F.shape[-1]
+    eye = jnp.eye(dim, dtype=F.dtype)
+    F0 = jnp.linalg.cholesky(2.0 * active_strain + eye)
+    F0_inv = jnp.linalg.inv(F0)
+    F_e = F @ F0_inv
+    F0_star = jnp.linalg.det(F0)[..., None, None] * jnp.swapaxes(F0_inv, -1, -2)
+    E_e = 0.5 * (jnp.swapaxes(F, -1, -2) @ F - eye) - active_strain
+    lam = jnp.asarray(lambda0, dtype=F.dtype)
+    G = jnp.asarray(G0, dtype=F.dtype)
+    if lam.ndim == 1:
+        lam = lam[:, None, None]
+    if G.ndim == 1:
+        G = G[:, None, None]
+    tr = jnp.trace(E_e, axis1=-2, axis2=-1)[..., None, None]
+    passive = lam * tr * eye + 2.0 * G * E_e
+    return F_e @ passive @ F0_star
