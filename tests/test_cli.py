@@ -1,0 +1,32 @@
+"""Case-runner CLI smoke test (SPHSystem::handleCommandlineOptions
+counterpart)."""
+
+import os
+import xml.etree.ElementTree as ET
+
+
+def test_cli_runs_case_and_writes_vtp(tmp_path, capsys):
+    from sphinxsys_tpu import run as cli
+
+    out = os.path.join(tmp_path, "out")
+    rc = cli.main(["dambreak_2d", "--set", "dx=0.1", "--set", "t_end=0.2",
+                   "--set", "n_output=2", "--output_dir", out])
+    assert rc == 0
+    files = sorted(os.listdir(out))
+    assert "WaterBody_000002.vtp" in files and "Wall_000001.vtp" in files
+    tree = ET.parse(os.path.join(out, "WaterBody_000002.vtp"))
+    assert int(tree.getroot()[0][0].attrib["NumberOfPoints"]) == 200
+
+
+def test_cli_rejects_unknown_case(capsys):
+    from sphinxsys_tpu import run as cli
+
+    assert cli.main(["nope"]) == 2
+    assert "unknown case" in capsys.readouterr().out
+
+
+def test_cli_lists_cases(capsys):
+    from sphinxsys_tpu import run as cli
+
+    assert cli.main([]) == 0
+    assert "dambreak_2d" in capsys.readouterr().out
