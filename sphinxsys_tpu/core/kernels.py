@@ -185,3 +185,123 @@ def lattice_number_density(kernel: SmoothingKernel, spacing: float, dim: int) ->
         w = np.asarray(kernel.W(jnp.asarray(dist[inside], dtype=jnp.float64
                                             if jax.config.jax_enable_x64 else jnp.float32), dim))
     return float(w.sum())
+
+
+@dataclasses.dataclass(frozen=True)
+class LaguerreGauss(SmoothingKernel):
+    """Laguerre-Gauss kernel (kernel_laguerre_gauss.cpp): a truncated
+    Gaussian times a Laguerre polynomial; same shape in all dimensions."""
+
+    def _w(self, q):
+        return (1.0 - q * q + q ** 4 / 6.0) * jnp.exp(-q * q)
+
+    def _dw(self, q):
+        return (-(q ** 5) / 3.0 + 8.0 * q ** 3 / 3.0 - 4.0 * q) * jnp.exp(-q * q)
+
+    def _d2w(self, q):
+        return (2.0 * q ** 6 / 3.0 - 7.0 * q ** 4 + 16.0 * q * q - 4.0) * jnp.exp(-q * q)
+
+    def _factor_w(self, dim: int) -> float:
+        inv_h = 1.0 / self.h
+        if dim == 1:
+            return inv_h * 8.0 / (5.0 * math.sqrt(_PI))
+        if dim == 2:
+            return inv_h ** 2 * 3.0 / _PI
+        return inv_h ** 3 * 8.0 / _PI ** 1.5
+
+
+@dataclasses.dataclass(frozen=True)
+class Hyperbolic(SmoothingKernel):
+    """Hyperbolic-shaped kernel (kernel_hyperbolic.cpp): piecewise
+    (6 - 6q + q^3) for q < 1 and (2 - q)^3 for 1 <= q < 2."""
+
+    def _w(self, q):
+        return jnp.where(q < 1.0, 6.0 - 6.0 * q + q ** 3, (2.0 - q) ** 3)
+
+    def _dw(self, q):
+        return jnp.where(q < 1.0, -6.0 + 3.0 * q * q, -3.0 * (2.0 - q) ** 2)
+
+    def _d2w(self, q):
+        return jnp.where(q < 1.0, 6.0 * q, 6.0 * (2.0 - q))
+
+    def _factor_w(self, dim: int) -> float:
+        inv_h = 1.0 / self.h
+        if dim == 1:
+            return inv_h / 7.0
+        if dim == 2:
+            return inv_h ** 2 / (3.0 * _PI)
+        return inv_h ** 3 * 15.0 / (62.0 * _PI)
+
+
+@dataclasses.dataclass(frozen=True)
+class TabulatedKernel:
+    """KernelTabulated<KernelType> (kernel_tabulated.h): W/dW/d2W read from
+    a precomputed table by 4-point Lagrange interpolation.
+
+    Kept for parity and for kernels that are expensive to evaluate; note
+    that on TPU the table lookup is an HBM gather while the analytic
+    kernels trace into fused VPU transcendentals — the analytic form is
+    usually FASTER on this hardware, the opposite of the reference's CPU
+    trade-off.  API-compatible with SmoothingKernel.
+    """
+
+    base: SmoothingKernel
+    resolution: int = 20
+
+    @property
+    def h(self):
+        return self.base.h
+
+    @property
+    def kernel_size(self):
+        return self.base.kernel_size
+
+    @property
+    def cutoff(self):
+        return self.base.cutoff
+
+    def w0(self, dim: int) -> float:
+        return self.base.w0(dim)
+
+    def _dq(self) -> float:
+        return self.base.kernel_size / self.resolution
+
+    def _table(self, fn, dim: int):
+        import jax
+
+        dq = self._dq()
+        with jax.ensure_compile_time_eval():
+            # the q = -dq pad point evaluates the raw shape polynomial at
+            # negative q, exactly as the reference table does
+            qs = jnp.arange(-1.0, self.resolution + 3.0) * dq * self.h
+            return fn(qs, dim)
+
+    def _interp(self, table, q):
+        """Four-point Lagrange interpolation (kernel_tabulated.h:49-62)."""
+        dq = self._dq()
+        loc = jnp.floor(q / dq).astype(jnp.int32)
+        loc = jnp.clip(loc, 0, self.resolution - 1)
+        f1 = q - loc * dq
+        f0 = f1 + dq
+        f2 = f1 - dq
+        f3 = f1 - 2 * dq
+        d0 = (-dq) * (-2 * dq) * (-3 * dq)
+        d1 = dq * (-dq) * (-2 * dq)
+        d2 = (2 * dq) * dq * (-dq)
+        d3 = (3 * dq) * (2 * dq) * dq
+        i = loc + 1
+        return (f1 * f2 * f3 / d0 * table[i - 1] + f0 * f2 * f3 / d1 * table[i]
+                + f0 * f1 * f3 / d2 * table[i + 1]
+                + f0 * f1 * f2 / d3 * table[i + 2])
+
+    def W(self, r, dim: int):
+        t = self._table(self.base.W, dim)
+        return jnp.where(r < self.cutoff, self._interp(t, r / self.h), 0.0)
+
+    def dW(self, r, dim: int):
+        t = self._table(self.base.dW, dim)
+        return jnp.where(r < self.cutoff, self._interp(t, r / self.h), 0.0)
+
+    def d2W(self, r, dim: int):
+        t = self._table(self.base.d2W, dim)
+        return jnp.where(r < self.cutoff, self._interp(t, r / self.h), 0.0)

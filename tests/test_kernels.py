@@ -73,3 +73,47 @@ def test_lattice_number_density():
     sigma0 = K.lattice_number_density(k, dx, 2)
     # sigma0 ~ 1/dx^2 for a normalized kernel sampled on the lattice
     assert abs(sigma0 * dx * dx - 1.0) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# round-1 additions: Laguerre-Gauss, Hyperbolic, Tabulated
+# ---------------------------------------------------------------------------
+
+def test_laguerre_gauss_and_hyperbolic_normalized():
+    """Kernels integrate to ~1 over their support in 1/2/3D."""
+    import numpy as np
+    from sphinxsys_tpu.core.kernels import LaguerreGauss, Hyperbolic
+
+    for K in (LaguerreGauss, Hyperbolic):
+        k = K(h=1.0)
+        r = jnp.asarray(np.linspace(1e-6, k.cutoff, 4001))
+        w1 = np.trapezoid(2 * np.asarray(k.W(r, 1)), np.asarray(r))
+        w2 = np.trapezoid(2 * np.pi * np.asarray(r) * np.asarray(k.W(r, 2)),
+                          np.asarray(r))
+        w3 = np.trapezoid(4 * np.pi * np.asarray(r) ** 2 * np.asarray(k.W(r, 3)),
+                          np.asarray(r))
+        if K is LaguerreGauss:
+            # the reference factors normalize the UNtruncated Gaussian
+            # integral; cutting at 2h loses little in 1D/2D but ~16% in 3D
+            # (the signed polynomial tail) — reproduce that behavior
+            np.testing.assert_allclose([w1, w2], 1.0, rtol=2e-2)
+            np.testing.assert_allclose(w3, 0.8439, rtol=1e-2)
+        else:
+            np.testing.assert_allclose([w1, w2, w3], 1.0, rtol=2e-3)
+
+
+def test_tabulated_matches_analytic():
+    import numpy as np
+    from sphinxsys_tpu.core.kernels import WendlandC2, TabulatedKernel
+
+    k = WendlandC2(h=0.013)
+    tk = TabulatedKernel(k, resolution=40)
+    r = jnp.asarray(np.linspace(0.0, 1.1 * k.cutoff, 333))
+    for dim in (2, 3):
+        np.testing.assert_allclose(np.asarray(tk.W(r, dim)),
+                                   np.asarray(k.W(r, dim)),
+                                   rtol=1e-4, atol=1e-4 * float(k.w0(dim)))
+        np.testing.assert_allclose(np.asarray(tk.dW(r, dim)),
+                                   np.asarray(k.dW(r, dim)),
+                                   rtol=1e-3, atol=2e-3 * abs(float(k.dW(jnp.asarray(0.5*k.h), dim))))
+    assert float(tk.W(jnp.asarray(1.01 * k.cutoff), 2)) == 0.0
