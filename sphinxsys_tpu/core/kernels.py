@@ -305,3 +305,65 @@ class TabulatedKernel:
     def d2W(self, r, dim: int):
         t = self._table(self.base.d2W, dim)
         return jnp.where(r < self.cutoff, self._interp(t, r / self.h), 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class AnisotropicKernel:
+    """AnisotropicKernel<KernelType> (anisotropic_kernel.{h,hpp}): the
+    displacement is mapped to an isotropic space by G = diag(1/(h k_i))
+    (per-axis stretch k_i), q = |G d|, and the value is scaled by det(G)
+    so the kernel integrates to one over the stretched support.
+
+    Displacement-based API: W_disp/grad_W take the displacement VECTOR
+    (x_i - x_j), unlike the radial isotropic kernels — anisotropic support
+    has no single radius.  grad_W returns the full gradient
+    factor * w'(q) * G^T G d / q, which reduces to dW(r) e_ij when
+    k = (1,...,1)."""
+
+    base: SmoothingKernel
+    kernel_vector: tuple
+
+    @property
+    def h(self):
+        return self.base.h
+
+    @property
+    def kernel_size(self):
+        return self.base.kernel_size
+
+    def _G_diag(self, dtype):
+        kv = jnp.asarray(self.kernel_vector, dtype)
+        return 1.0 / (self.base.h * kv)
+
+    def _det_G(self) -> float:
+        det = 1.0
+        for k in self.kernel_vector:
+            det *= 1.0 / (self.base.h * k)
+        return det
+
+    def _factor(self, dim: int) -> float:
+        # reference getFactors(): h^dim det(G) * isotropic factor (which
+        # carries 1/h^dim), i.e. the shape normalization times det(G)
+        return self.base._factor_w(dim) * self.base.h ** dim * self._det_G()
+
+    def transformed_q(self, displacement):
+        g = self._G_diag(displacement.dtype)
+        return jnp.linalg.norm(g * displacement, axis=-1)
+
+    def within_cutoff(self, displacement):
+        return self.transformed_q(displacement) < self.kernel_size
+
+    def W_disp(self, displacement, dim: int):
+        q = self.transformed_q(displacement)
+        inside = q < self.kernel_size
+        return jnp.where(inside, self._factor(dim)
+                         * self.base._w(jnp.minimum(q, self.kernel_size)), 0.0)
+
+    def grad_W(self, displacement, dim: int):
+        g = self._G_diag(displacement.dtype)
+        gd = g * displacement
+        q = jnp.linalg.norm(gd, axis=-1)
+        inside = q < self.kernel_size
+        dwdq = self._factor(dim) * self.base._dw(jnp.minimum(q, self.kernel_size))
+        coeff = jnp.where(inside, dwdq / jnp.maximum(q, 1e-15), 0.0)
+        return coeff[..., None] * (g * gd)

@@ -117,3 +117,36 @@ def test_tabulated_matches_analytic():
                                    np.asarray(k.dW(r, dim)),
                                    rtol=1e-3, atol=2e-3 * abs(float(k.dW(jnp.asarray(0.5*k.h), dim))))
     assert float(tk.W(jnp.asarray(1.01 * k.cutoff), 2)) == 0.0
+
+
+def test_anisotropic_reduces_to_isotropic_and_stretches():
+    import numpy as np
+    from sphinxsys_tpu.core.kernels import WendlandC2, AnisotropicKernel
+
+    k = WendlandC2(h=0.1)
+    iso = AnisotropicKernel(k, (1.0, 1.0))
+    rng = np.random.default_rng(1)
+    d = jnp.asarray(rng.normal(scale=0.08, size=(50, 2)))
+    r = jnp.linalg.norm(d, axis=-1)
+    np.testing.assert_allclose(np.asarray(iso.W_disp(d, 2)),
+                               np.asarray(k.W(r, 2)), rtol=1e-6)
+    e = d / r[:, None]
+    np.testing.assert_allclose(np.asarray(iso.grad_W(d, 2)),
+                               np.asarray(k.dW(r, 2))[:, None] * np.asarray(e),
+                               rtol=1e-5, atol=1e-6)
+
+    # stretched x2 along x: support reaches 2x further in x, value at the
+    # origin halves (det G), and it still integrates to ~1
+    an = AnisotropicKernel(k, (2.0, 1.0))
+    dx_ = jnp.asarray([[0.3, 0.0]])
+    dy_ = jnp.asarray([[0.0, 0.3]])
+    assert float(an.W_disp(dx_, 2)[0]) > 0.0      # inside stretched support
+    assert float(an.W_disp(dy_, 2)[0]) == 0.0     # outside along y
+    xs = np.linspace(-0.45, 0.45, 301)
+    X, Y = np.meshgrid(xs, xs / 2 + 0.0, indexing="ij")
+    # integrate on a grid over the support
+    g = np.stack(np.meshgrid(np.linspace(-0.45, 0.45, 401),
+                             np.linspace(-0.25, 0.25, 401), indexing="ij"), -1)
+    w = np.asarray(an.W_disp(jnp.asarray(g.reshape(-1, 2)), 2))
+    cell = (0.9 / 400) * (0.5 / 400)
+    np.testing.assert_allclose(w.sum() * cell, 1.0, rtol=1e-2)
