@@ -41,9 +41,10 @@ def randomize_positions(pos, spacing: float, seed: int = 0):
         key, pos.shape, dtype=pos.dtype, minval=-1.0, maxval=1.0)
 
 
-def relaxation_residual(pos, vol, nl, kernel, dim: int):
-    """residual_i = -2 sum_j dW_ij V_j e_ij (relax_stepping.cpp)."""
-    pg = pair_geometry(pos, pos, nl, kernel, dim, need_W=False)
+def relaxation_residual(pos, vol, nl, kernel, dim: int, box=None):
+    """residual_i = -2 sum_j dW_ij V_j e_ij (relax_stepping.cpp); `box`
+    enables minimum-image displacements for periodic domains."""
+    pg = pair_geometry(pos, pos, nl, kernel, dim, need_W=False, box=box)
     vol_j, _ = gather(vol, nl.idx)
     return -jnp.sum((2.0 * pg.dW * vol_j)[..., None] * pg.e, axis=1)
 
@@ -132,6 +133,42 @@ def relax_shape(shape, pos0, volume: float, adaptation, grid: CellGrid,
             scale = relaxation_scaling(res, h_ref)
             p = p + 0.5 * res * scale
             return surface_bounding(p, shape, spacing)
+
+        return jax.lax.fori_loop(0, n_iterations, body, pos)
+
+    return run(pos0)
+
+
+def relax_periodic(pos0, volume: float, adaptation, grid: CellGrid,
+                   n_iterations: int = 200, cell_cap: int = 32,
+                   k_max: int = 48, seed: int = 0, box=None):
+    """Periodic-domain relaxation (the fully-periodic counterpart of
+    relax_shape, e.g. the Taylor-Green relaxed initial condition): no
+    surface bounding, positions wrapped into the box each iteration and
+    residuals evaluated with minimum-image displacements."""
+    from sphinxsys_tpu.neighbors.cell_list import wrap_positions
+
+    kernel = adaptation.kernel
+    dim = pos0.shape[1]
+    n = pos0.shape[0]
+    vol = jnp.full((n,), volume, dtype=jnp.asarray(pos0).dtype)
+    h_ref = adaptation.h
+    cutoff = adaptation.cutoff
+    spacing = adaptation.spacing
+
+    pos0 = wrap_positions(randomize_positions(jnp.asarray(pos0), spacing,
+                                              seed), grid)
+
+    @jax.jit
+    def run(pos):
+        def body(_, p):
+            table = build_cell_table(p, jnp.int32(n), grid, cap=cell_cap)
+            nl = build_neighbor_list(p, jnp.int32(n), p, jnp.int32(n), table,
+                                     grid, cutoff, k_max=k_max,
+                                     include_self=False)
+            res = relaxation_residual(p, vol, nl, kernel, dim, box=box)
+            scale = relaxation_scaling(res, h_ref)
+            return wrap_positions(p + 0.5 * res * scale, grid)
 
         return jax.lax.fori_loop(0, n_iterations, body, pos)
 
