@@ -49,7 +49,10 @@ def _run_single_fluid(module_name: str, bodies_of, t_end: float):
         n_out = int(p.pop("n_output", 20))
         built = mod.build_case(**p)
         case, states = built[0], built[1:]
-        s = mod.init_sim(case, *states)
+        if hasattr(mod, "init_sim"):
+            s = mod.init_sim(case, *states)
+        else:  # solid/shell cases return (case, sim) directly
+            (s,) = states
         run = mod.make_run_chunk(case)
         for i in range(1, n_out + 1):
             t0 = time.time()
@@ -85,6 +88,29 @@ CASES = {
     "ball_shell_collision_3d": _run_single_fluid(
         "ball_shell_collision_3d",
         lambda c, s: {"BallBody": s.ball, "Shell": c.shell}, t_end=4.0),
+    "fsi2": _run_single_fluid(
+        "fsi2",
+        lambda c, s: {"WaterBody": s.fluid, "InsertedBody": s.solid,
+                      "Wall": c.wall}, t_end=20.0),
+    "oscillating_beam_2d": _run_single_fluid(
+        "oscillating_beam_2d", lambda c, s: {"BeamBody": s.solid}, t_end=1.0),
+    "shell_cantilever_2d": _run_single_fluid(
+        "shell_cantilever_2d", lambda c, s: {"Shell": s.shell}, t_end=1.0),
+    "shell_plate_3d": _run_single_fluid(
+        "shell_plate_3d", lambda c, s: {"Plate": s.shell}, t_end=0.02),
+    "dambreak_3d": _run_single_fluid(
+        "dambreak_3d", lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall},
+        t_end=2.0),
+    "column_collapse_2d": _run_single_fluid(
+        "column_collapse_2d",
+        lambda c, s: {"SoilBody": s.soil, "Wall": c.wall}, t_end=1.0),
+    "dambreak_2d_block": _run_single_fluid(
+        "dambreak_2d_block",
+        lambda c, s: {"WaterBody": __import__(
+            "sphinxsys_tpu.cases.dambreak_2d_block",
+            fromlist=["blocks_to_particles"]).blocks_to_particles(
+                c, s, c.base.n_fluid),
+            "Wall": c.base.wall}, t_end=20.0),
 }
 
 
