@@ -8,8 +8,8 @@ vs_baseline = value / 1e9.
 
 Env knobs: BENCH_DX (default 0.005 -> ~80k fluid particles),
 BENCH_STEPS (timed advection steps), BENCH_PLATFORM (force e.g. cpu),
-BENCH_ENGINE (block | gather; default block — the cell-block engine is
-~7x faster on TPU).
+BENCH_ENGINE (pallas | block | gather; default pallas — the fused
+transposed Pallas sweeps, ops/pallas_block2.py).
 """
 
 from __future__ import annotations
@@ -30,13 +30,13 @@ def main() -> None:
 
     dx = float(os.environ.get("BENCH_DX", "0.005"))
     n_steps = int(os.environ.get("BENCH_STEPS", "40"))
-    engine = os.environ.get("BENCH_ENGINE", "block")
+    engine = os.environ.get("BENCH_ENGINE", "pallas")
 
-    if engine == "block":
+    if engine in ("block", "pallas"):
         from sphinxsys_tpu.cases import dambreak_2d as db
         from sphinxsys_tpu.cases import dambreak_2d_block as dbb
 
-        case, fluid = dbb.build_case(dx=dx)
+        case, fluid = dbb.build_case(dx=dx, use_pallas=(engine == "pallas"))
         sim = dbb.init_sim(case, fluid)
         run_chunk = dbb.make_run_chunk(case)
         n_fluid, n_wall = case.base.n_fluid, case.base.n_wall
@@ -71,7 +71,7 @@ def main() -> None:
 
     n_adv = int(sim.n_adv) - n_adv0
     n_ac = int(sim.n_ac) - n_ac0
-    if engine == "block":
+    if engine in ("block", "pallas"):
         # count true pairs with the reference neighbor engine
         parts = dbb.blocks_to_particles(case, sim, n_fluid)
         nl_inner, nl_wall = jax.jit(

@@ -119,16 +119,19 @@ def main():
     jax.block_until_ready(simp.fluid_b["Position"])
     fbp = simp.fluid_b
 
-    timeit("ac1 PALLAS (inner+wall)", loop(
-        lambda f: fbops.acoustic_step_1st_half_pallas(
-            f, simp.nbr_inner, kernel, base.eos, base.riemann, dt,
-            wall_packed=casep.wall_packed1, nbr_wall=simp.nbr_wall)),
+    wall_jt, wflags = jax.jit(lambda: fbops.pack_wall_t(
+        casep.wall_b, simp.nbr_wall, casep.bm_wall.c_max, casep.tile_c))()
+
+    timeit("ac1 PALLAS v2 (inner+wall fused)", loop(
+        lambda f: fbops.acoustic_step_1st_half_p2(
+            f, simp.nbr_inner, wall_jt, wflags, kernel, base.eos,
+            base.riemann, dt, tile_c=casep.tile_c)),
         fbp, iters=ITERS)
 
-    timeit("ac2 PALLAS (inner+wall)", loop(
-        lambda f: fbops.acoustic_step_2nd_half_pallas(
-            f, simp.nbr_inner, kernel, base.riemann, dt,
-            wall_packed=casep.wall_packed2, nbr_wall=simp.nbr_wall)),
+    timeit("ac2 PALLAS v2 (inner+wall fused)", loop(
+        lambda f: fbops.acoustic_step_2nd_half_p2(
+            f, simp.nbr_inner, wall_jt, wflags, kernel, base.riemann, dt,
+            tile_c=casep.tile_c)),
         fbp, iters=ITERS)
 
     # 8. pallas sweep alone with pre-gathered xj (compute-only cost)

@@ -61,8 +61,8 @@ class BlockCase:
     cap: int
     c_max: int
     use_pallas: bool = False
-    wall_packed1: Any = None  # packed wall tensor for the 1st-half sweep
-    wall_packed2: Any = None  # packed wall tensor for the 2nd-half sweep
+    pallas_interpret: bool = False   # run the Pallas sweeps interpreted (CPU)
+    tile_c: int = 256
 
     @property
     def grid(self):
@@ -80,16 +80,19 @@ def _slot_mask_2d(bm: BlockMap):
 
 
 def build_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 16,
-               c_max: int | None = None, use_pallas: bool = False):
-    """`use_pallas=True` runs the acoustic pair sweeps as fused Pallas
-    kernels (TPU, 2D, Wendland C2 — ops/pallas_sweep.py)."""
+               c_max: int | None = None, use_pallas: bool = False,
+               pallas_interpret: bool = False, tile_c: int = 256):
+    """`use_pallas=True` runs the acoustic pair sweeps as the fused
+    transposed Pallas kernels (ops/pallas_block2.py); `pallas_interpret`
+    runs them in interpreter mode for CPU tests."""
     base, fluid = db.build_case(dx=dx, dtype=dtype)
 
-    def _round32(n):
-        return ((n + 31) // 32) * 32
+    def _round(n, m):
+        return ((n + m - 1) // m) * m
 
-    c_max = _round32(c_max or max(base.n_fluid // 4, 256))
-    c_max_w = _round32(max(base.n_wall // 4, 256))
+    # fluid block count padded to the Pallas tile size (sweep grid tiles)
+    c_max = _round(c_max or max(base.n_fluid // 4, 256), tile_c)
+    c_max_w = _round(max(base.n_wall // 4, 256), 32)
 
     # static wall blocks (jitted: eager remote-TPU dispatch is latency-bound)
     @jax.jit
@@ -105,14 +108,9 @@ def build_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 16,
 
     bm_wall, wall_b = _build_wall()
 
-    wall_packed1 = wall_packed2 = None
-    if use_pallas:
-        wall_packed1 = jax.jit(fbops.pack_wall_ac1)(wall_b)
-        wall_packed2 = jax.jit(fbops.pack_wall_ac2)(wall_b)
-
     case = BlockCase(base=base, wall_b=wall_b, bm_wall=bm_wall, cap=cap,
                      c_max=c_max, use_pallas=use_pallas,
-                     wall_packed1=wall_packed1, wall_packed2=wall_packed2)
+                     pallas_interpret=pallas_interpret, tile_c=tile_c)
     return case, fluid
 
 
@@ -164,16 +162,21 @@ def _advection_step(case: BlockCase, s: BlockSim) -> BlockSim:
         _, rt, _ = carry
         return rt < dt_adv
 
+    if case.use_pallas:
+        wall_jt, wflags = fbops.pack_wall_t(
+            case.wall_b, s.nbr_wall, case.bm_wall.c_max, case.tile_c)
+
     def ac_body(carry):
         f, rt, k = carry
         dt = fbops.acoustic_time_step_b(f, base.eos, h)
         if case.use_pallas:
-            f = fbops.acoustic_step_1st_half_pallas(
-                f, s.nbr_inner, kernel, base.eos, base.riemann, dt,
-                wall_packed=case.wall_packed1, nbr_wall=s.nbr_wall)
-            f = fbops.acoustic_step_2nd_half_pallas(
-                f, s.nbr_inner, kernel, base.riemann, dt,
-                wall_packed=case.wall_packed2, nbr_wall=s.nbr_wall)
+            f = fbops.acoustic_step_1st_half_p2(
+                f, s.nbr_inner, wall_jt, wflags, kernel, base.eos,
+                base.riemann, dt, tile_c=case.tile_c,
+                interpret=case.pallas_interpret)
+            f = fbops.acoustic_step_2nd_half_p2(
+                f, s.nbr_inner, wall_jt, wflags, kernel, base.riemann, dt,
+                tile_c=case.tile_c, interpret=case.pallas_interpret)
         else:
             f = fbops.acoustic_step_1st_half_b(
                 f, s.nbr_inner, kernel, dim, base.eos, base.riemann, dt,

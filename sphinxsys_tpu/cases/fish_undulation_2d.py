@@ -96,11 +96,11 @@ class FishCase:
         return self.adaptation.kernel
 
 
-def material_regions(pos: np.ndarray):
+def material_regions(pos: np.ndarray, origin=(0.0, 0.0)):
     """MaterialID per particle (FishMaterialInitialization,
     2d_flow_stream_around_fish.h:134-162): 0 muscle flanks, 1 passive
-    body, 2 head + spine."""
-    x, y = pos[:, 0], pos[:, 1]
+    body, 2 head + spine.  `origin` is the fish nose position (cx, cy)."""
+    x, y = pos[:, 0] - origin[0], pos[:, 1] - origin[1]
     y_muscle = outline(x, MUSCLE_THICKNESS)
     in_tail = x <= (FISH_LENGTH - HEAD_LENGTH)
     upper = in_tail & (y > y_muscle - 0.004) & (y > BONE_THICKNESS / 2)
@@ -154,12 +154,12 @@ def build_case(dx: float = 0.0025, dtype=jnp.float32, k_inner: int = 48):
     return case, sim
 
 
-def impose_active_strain(fish: State, t) -> State:
+def impose_active_strain(fish: State, t, origin=(0.0, 0.0)) -> State:
     """Traveling-wave muscle activation (ImposingActiveStrain)."""
     out = dict(fish)
     pos0 = fish["InitialPosition"]
-    x = pos0[:, 0]
-    y = pos0[:, 1]
+    x = pos0[:, 0] - origin[0]
+    y = pos0[:, 1] - origin[1]
     hx = -(x ** 2 - FISH_LENGTH ** 2) / FISH_LENGTH ** 2
     w = 2.0 * math.pi * FREQUENCY
     k = 2.0 * math.pi / WAVELENGTH

@@ -340,3 +340,29 @@ def beam_tip_displacement(case: FSICase, s: FSISim):
     i = int(np.argmin(np.linalg.norm(pos0 - tip, axis=1)))
     d = np.asarray(s.solid["Position"][i] - s.solid["InitialPosition"][i])
     return float(d[0]), float(d[1])
+
+
+def tip_observer(case: FSICase, solid: State):
+    """Reference-compatible beam-tip observer.
+
+    fsi2.cpp:46-48,103,166: a single observer particle at 0.5*(BRT+BRB) =
+    (6.0, 2.0) with a contact relation to the insert body that is built
+    ONCE and never updated — the interpolation weights W(r0)*Vol are frozen
+    at the initial configuration, so reading the beam's current Position
+    through them tracks the material tip.  Returns (indices, weights).
+    """
+    tip = np.asarray([CYL_CENTER[0] + CYL_R + BL, CYL_CENTER[1]])
+    pos0 = np.asarray(solid["InitialPosition"])[: case.n_solid]
+    r = np.linalg.norm(pos0 - tip, axis=1)
+    cutoff = case.adaptation.cutoff
+    idx = np.nonzero(r < cutoff)[0]
+    kernel = case.kernel
+    w = np.asarray([float(kernel.W(jnp.asarray(ri, pos0.dtype), 2)) for ri in r[idx]])
+    w = w * np.asarray(solid["VolumetricMeasure"])[idx]
+    return jnp.asarray(idx), jnp.asarray(w / (w.sum() + 1e-15), pos0.dtype)
+
+
+def observe_tip(s: FSISim, idx, weights):
+    """Interpolated tip Position with frozen weights (general_interpolation.h
+    BaseInterpolation::interaction, normalized by total weight)."""
+    return jnp.sum(s.solid["Position"][idx] * weights[:, None], axis=0)

@@ -322,7 +322,8 @@ def transport_velocity_correction(fluid: State, nl_inner: NeighborList, kernel,
                                   limiter_slope: float | None = None,
                                   wall: State | None = None,
                                   nl_wall: NeighborList | None = None,
-                                  box=None, walls: Sequence[tuple] = ()) -> State:
+                                  box=None, walls: Sequence[tuple] = (),
+                                  scope_mask=None) -> State:
     """Shift positions down the kernel-gradient-integral "inconsistency" to
     keep particle distributions uniform (transport_velocity_correction.hpp:
     37-67):
@@ -347,5 +348,93 @@ def transport_velocity_correction(fluid: State, nl_inner: NeighborList, kernel,
     sq = jnp.sum(inconsistency**2, axis=-1)
     lim = jnp.minimum(limiter_slope * h2 * sq, 1.0) if limiter_slope is not None else 1.0
     out = dict(fluid)
-    out["Position"] = pos + coefficient * h2 * (lim[..., None] if limiter_slope is not None else 1.0) * inconsistency
+    shift = coefficient * h2 * (lim[..., None] if limiter_slope is not None else 1.0) * inconsistency
+    if scope_mask is not None:  # e.g. BulkParticles: Indicator == 0
+        shift = jnp.where(scope_mask[:, None], shift, 0.0)
+    out["Position"] = pos + shift
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Free-surface indication + free-stream boundary (surface_indication.cpp,
+# fluid_boundary.h:123-166, density_summation.h:141-183)
+# ---------------------------------------------------------------------------
+
+def free_surface_indication(fluid: State, nl_inner: NeighborList, kernel,
+                            dim: int, contacts: Sequence[tuple] = (),
+                            spatial_temporal: bool = False,
+                            box=None) -> State:
+    """FreeSurfaceIndication(SpatialTemporal): Indicator = 1 where the
+    position divergence  -sum dW V r  falls below 0.75*dim, smeared one
+    layer inward (a bulk particle within h of a surface one is also
+    tagged).  The SpatialTemporal variant suppresses NEW surface particles
+    that were bulk last step and have no previous-surface neighbor
+    (surface_indication.cpp:57-90)."""
+    pos = fluid["Position"]
+    threshold = 0.75 * dim
+    h = kernel.h
+    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False, box=box)
+    vol_j, _ = gather(fluid["VolumetricMeasure"], nl_inner.idx)
+    pos_div = -jnp.sum(pg.dW * vol_j * pg.r, axis=1)
+    for c_state, nl_c, _rho0 in contacts:
+        pgc = pair_geometry(pos, c_state["Position"], nl_c, kernel, dim,
+                            need_W=False, box=box)
+        vol_k, _ = gather(c_state["VolumetricMeasure"], nl_c.idx)
+        pos_div = pos_div - jnp.sum(pgc.dW * vol_k * pgc.r, axis=1)
+
+    out = dict(fluid)
+    if spatial_temporal and "PreviousSurfaceIndicator" in fluid:
+        prev = fluid["PreviousSurfaceIndicator"]
+        prev_j, mj = gather(prev, nl_inner.idx)
+        near_prev_surface = jnp.any((prev_j == 1) & mj, axis=1)
+        # a would-be surface particle that was bulk and is not adjacent to
+        # the previous surface keeps its bulk status this step
+        suppress = (pos_div < threshold) & (prev != 1) & ~near_prev_surface
+        pos_div = jnp.where(suppress, 2.0 * threshold, pos_div)
+
+    is_surface = pos_div < threshold
+    surf_j, mj = gather(is_surface, nl_inner.idx)
+    near_surface = jnp.any(surf_j & mj & (pg.r < h), axis=1)
+    indicator = jnp.where(is_surface | near_surface, 1, 0).astype(jnp.int32)
+    out["Indicator"] = indicator
+    out["PositionDivergence"] = pos_div
+    out["PreviousSurfaceIndicator"] = indicator
+    return out
+
+
+def density_summation_freestream(fluid: State, nl_inner: NeighborList, kernel,
+                                 dim: int, rho0: float, sigma0: float,
+                                 contacts: Sequence[tuple] = (),
+                                 box=None) -> State:
+    """DensitySummationFreeStreamComplex: plain summation for bulk
+    particles; particles with a surface-indicated neighbor get the
+    NearFreeStream blend  rho_sum + (rho - rho_sum) rho0 / rho  when
+    rho_sum < rho (density_summation.h:141-147)."""
+    out = density_summation(fluid, nl_inner, kernel, dim, rho0, sigma0,
+                            contacts=contacts, free_surface=False, box=box)
+    rho_sum = out["DensitySummation"]
+    rho_old = fluid["Density"]
+    ind_j, mj = gather(fluid["Indicator"], nl_inner.idx)
+    near_surface = jnp.any((ind_j == 1) & mj, axis=1)
+    blended = jnp.where(rho_sum < rho_old,
+                        rho_sum + (rho_old - rho_sum) * rho0 / rho_old,
+                        rho_sum)
+    rho = jnp.where(near_surface, blended, rho_sum)
+    out["Density"] = rho
+    out["VolumetricMeasure"] = fluid["Mass"] / jnp.maximum(rho, TINY)
+    return out
+
+
+def free_stream_velocity_correction(fluid: State, u_target, t,
+                                    rho0: float) -> State:
+    """FreeStreamVelocityCorrection (fluid_boundary.h:129-166): surface-
+    indicated particles blend their streamwise velocity toward the
+    free-stream target, weighted by min(rho_sum, rho0)/rho0."""
+    out = dict(fluid)
+    vel = fluid["Velocity"]
+    u_free = u_target(fluid["Position"], vel, t)
+    w = jnp.minimum(fluid["DensitySummation"], rho0) / rho0
+    vx = u_free + (vel[:, 0] - u_free) * w
+    vx = jnp.where(fluid["Indicator"] == 1, vx, vel[:, 0])
+    out["Velocity"] = jnp.concatenate([vx[:, None], vel[:, 1:]], axis=-1)
     return out

@@ -426,3 +426,114 @@ def sweep_geometry(pos_qb, mask_qb, pos_sb, mask_sb, nbr_block, w, kernel,
     W = kernel.W(r, dim) * fm
     dW = kernel.dW(r, dim) * fm
     return j, r, e, W, dW, m
+
+
+# ---------------------------------------------------------------------------
+# Second-generation Pallas acoustic steps (ops/pallas_block2.py): transposed
+# lane-packed fused inner+wall sweeps.  ~2x the XLA block engine per sweep
+# with per-window gathers at ~1/10 the prep cost of the v1 kernels.
+# ---------------------------------------------------------------------------
+
+def pack_wall_t(wall_b, nbr_wall, c_max_wall: int, tile_c: int = 256):
+    """Per-advection-step wall prep for the fused sweeps: gather+transpose
+    the static wall channels through the (C, 9) wall windows, plus per-tile
+    any-wall flags.  Returns (wall_jt (9, 9, CAP, C), wflags (C/tile_c,))."""
+    from sphinxsys_tpu.ops import pallas_block2 as pb2
+
+    packed = jnp.concatenate([
+        wall_b["Position"],
+        wall_b["VolumetricMeasure"][..., None],
+        wall_b["AverageVelocity"],
+        wall_b["NormalDirection"],
+        wall_b["AverageAcceleration"],
+    ], axis=-1)                                   # (Cw+1, CAP, 9)
+    wall_jt = jnp.stack(
+        [packed[nbr_wall[:, w]].transpose(2, 1, 0) for w in range(9)], axis=0)
+    wflags = pb2.wall_flags(nbr_wall, c_max_wall, tile_c)
+    return wall_jt, wflags
+
+
+def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
+                              riemann, dt, tile_c: int = 256,
+                              interpret: bool = False):
+    """Pallas v2 variant of acoustic_step_1st_half_b (2D WendlandC2,
+    non-periodic — padding handled by FAR-parked positions)."""
+    from sphinxsys_tpu.ops import pallas_block2 as pb2
+
+    out = dict(fb)
+    mask = fb["SlotMask"]
+    rho = jnp.where(mask, fb["Density"] + fb["DensityChangeRate"] * (0.5 * dt),
+                    fb["Density"])
+    p = eos.pressure(rho)
+    pos = fb["Position"] + jnp.where(mask[..., None], fb["Velocity"] * (0.5 * dt), 0.0)
+    vol = fb["VolumetricMeasure"]
+    c = nbr_inner.shape[0]
+
+    packed_j = jnp.concatenate([pos, p[..., None], vol[..., None]], axis=-1)
+    xj_t = jnp.stack(
+        [packed_j[nbr_inner[:, w]].transpose(2, 1, 0) for w in range(9)], 0)
+    acc_prior = fb["ForcePrior"] / jnp.maximum(fb["Mass"], TINY)[..., None]
+    xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T, p[:c].T, rho[:c].T,
+                      acc_prior[:c, :, 0].T, acc_prior[:c, :, 1].T], 0)
+
+    fx, fy, rd = pb2.ac1_sweep_t(
+        xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
+        factor_w=kernel._factor_w(2), inv_rho0c0=riemann.inv_rho0c0_ave,
+        tile_c=tile_c, interpret=interpret)
+    force = jnp.stack([fx.T, fy.T], axis=-1)      # (C, CAP, 2)
+    pad_v = fb["Force"][c:]
+    force_total = fb["Force"] + jnp.concatenate(
+        [force * vol[:c][..., None], jnp.zeros_like(pad_v)], axis=0)
+    drho_dt = jnp.concatenate([rd.T * rho[:c], fb["DensityChangeRate"][c:]], 0)
+    vel = fb["Velocity"] + jnp.where(
+        mask[..., None],
+        (fb["ForcePrior"] + force_total) / jnp.maximum(fb["Mass"], TINY)[..., None] * dt,
+        0.0)
+    out.update({"Density": rho, "Pressure": p, "Position": pos,
+                "Force": force_total, "DensityChangeRate": drho_dt,
+                "Velocity": vel})
+    return out
+
+
+def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
+                              dt, tile_c: int = 256,
+                              interpret: bool = False):
+    """Pallas v2 variant of acoustic_step_2nd_half_b."""
+    from sphinxsys_tpu.ops import pallas_block2 as pb2
+    from sphinxsys_tpu.physics.riemann import (
+        AcousticRiemannSolver, DissipativeRiemannSolver)
+
+    out = dict(fb)
+    mask = fb["SlotMask"]
+    pos = fb["Position"] + jnp.where(mask[..., None], fb["Velocity"] * (0.5 * dt), 0.0)
+    vel = fb["Velocity"]
+    rho = fb["Density"]
+    vol = fb["VolumetricMeasure"]
+    c = nbr_inner.shape[0]
+
+    packed_j = jnp.concatenate([pos, vel, vol[..., None]], axis=-1)
+    xj_t = jnp.stack(
+        [packed_j[nbr_inner[:, w]].transpose(2, 1, 0) for w in range(9)], 0)
+    xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T,
+                      vel[:c, :, 0].T, vel[:c, :, 1].T], 0)
+
+    if isinstance(riemann, DissipativeRiemannSolver):
+        geo, limiter = riemann.rho0c0_geo_ave, 1.0e30
+    elif isinstance(riemann, AcousticRiemannSolver):
+        geo, limiter = riemann.rho0c0_geo_ave, riemann.limiter_coeff
+    else:
+        geo, limiter = 0.0, 1.0
+    dcr, fx, fy = pb2.ac2_sweep_t(
+        xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
+        factor_w=kernel._factor_w(2), rho0c0_geo=geo,
+        inv_c0=riemann.inv_c0_ave, limiter_coeff=limiter, tile_c=tile_c,
+        interpret=interpret)
+
+    force = jnp.stack([fx.T, fy.T], axis=-1) * vol[:c][..., None]
+    drho_dt = fb["DensityChangeRate"] + jnp.concatenate(
+        [dcr.T * rho[:c], jnp.zeros_like(rho[c:])], axis=0)
+    force_full = jnp.concatenate([force, jnp.zeros_like(vel[c:])], axis=0)
+    rho_new = jnp.where(mask, rho + drho_dt * (0.5 * dt), rho)
+    out.update({"Position": pos, "DensityChangeRate": drho_dt,
+                "Force": force_full, "Density": rho_new})
+    return out
