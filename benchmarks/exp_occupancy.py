@@ -24,7 +24,11 @@ DX = float(os.environ.get("MB_DX", "0.005"))
 def stats(case, s, t):
     pos = np.asarray(s.fluid["Position"][:case.n_fluid])
     grid = case.grid
-    cid = np.asarray(jax.jit(grid.cell_id)(s.fluid["Position"]))[:case.n_fluid]
+    lo = np.asarray(grid.lower)
+    sp = np.asarray(grid.spacing)
+    shape = np.asarray(grid.shape)
+    coords_all = np.clip(((pos - lo) / sp).astype(int), 0, shape - 1)
+    cid = np.ravel_multi_index((coords_all[:, 0], coords_all[:, 1]), tuple(shape))
     counts = np.bincount(cid, minlength=grid.ncells)
     occ = counts > 0
     n_occ = int(occ.sum())

@@ -146,5 +146,43 @@ def main():
     timed("wall prep (per advection step)", wall_prep_loop, flat["Position"])
 
 
+
+
+def profile_full_step():
+    """Time one full advection step (jitted alone) vs the component sum."""
+    case, fluid = dbb.build_case(dx=DX, use_pallas=True)
+    sim = dbb.init_sim(case, fluid)
+    step = dbb.make_advection_step(case)
+    sim = step(sim)          # warm flow + compile
+    jax.block_until_ready(sim.fluid_b["Position"])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        sim = step(sim)
+    jax.block_until_ready(sim.fluid_b["Position"])
+    dt = (time.perf_counter() - t0) / 10
+    print(f"full advection step (jit, incl reslot+density): {dt*1e3:9.3f} ms"
+          f"  ({int(sim.n_ac)} ac steps total)")
+
+    run = dbb.make_run_chunk(case)
+    h = case.base.adaptation.h
+    from sphinxsys_tpu.cases import dambreak_2d as db
+    dt_adv = 0.25 * h / db.U_REF
+    t_target = sim.time + 10 * dt_adv
+    sim2 = run(sim, t_target)  # compile
+    jax.block_until_ready(sim2.fluid_b["Position"])
+    n0 = int(sim2.n_adv)
+    t_target2 = sim2.time + 10 * dt_adv
+    t0 = time.perf_counter()
+    sim3 = run(sim2, t_target2)
+    jax.block_until_ready(sim3.fluid_b["Position"])
+    dt = time.perf_counter() - t0
+    n = int(sim3.n_adv) - n0
+    print(f"run_chunk: {dt*1e3/max(n,1):9.3f} ms/adv step ({n} steps, "
+          f"{int(sim3.n_ac)-int(sim2.n_ac)} ac)")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("MB_FULL"):
+        profile_full_step()
+    else:
+        main()

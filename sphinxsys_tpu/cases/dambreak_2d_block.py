@@ -26,6 +26,7 @@ from sphinxsys_tpu.cases import dambreak_2d as db
 from sphinxsys_tpu.core.state import FAR_AWAY
 from sphinxsys_tpu.neighbors.cell_blocks import (
     BlockMap, build_block_map, cross_neighbor_blocks, to_blocks,
+    to_blocks_packed,
 )
 from sphinxsys_tpu.physics import fluid_blocks as fbops
 from sphinxsys_tpu.physics import riemann as rs
@@ -63,6 +64,7 @@ class BlockCase:
     use_pallas: bool = False
     pallas_interpret: bool = False   # run the Pallas sweeps interpreted (CPU)
     tile_c: int = 256
+    wall_dense_map: Any = None       # static wall cell->block lookup
 
     @property
     def grid(self):
@@ -107,10 +109,14 @@ def build_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 16,
         return bm_wall, wall_b
 
     bm_wall, wall_b = _build_wall()
+    wall_dense_map = jax.jit(lambda: __import__(
+        'sphinxsys_tpu.neighbors.cell_blocks', fromlist=['dense_cell_map']
+    ).dense_cell_map(bm_wall.occ_cells, base.grid.ncells, bm_wall.c_max))()
 
     case = BlockCase(base=base, wall_b=wall_b, bm_wall=bm_wall, cap=cap,
                      c_max=c_max, use_pallas=use_pallas,
-                     pallas_interpret=pallas_interpret, tile_c=tile_c)
+                     pallas_interpret=pallas_interpret, tile_c=tile_c,
+                     wall_dense_map=wall_dense_map)
     return case, fluid
 
 
@@ -118,14 +124,13 @@ def _slot_fluid(case: BlockCase, flat_fields: dict, valid):
     """(Re-)slot flat per-particle/per-slot arrays into fresh blocks."""
     bm = build_block_map(flat_fields["Position"], valid, case.grid,
                          cap=case.cap, c_max=case.c_max)
-    fb = {k: to_blocks(bm, v, fill=_FILLS.get(k, 0.0))
-          for k, v in flat_fields.items() if k != "OriginalID"}
-    n = flat_fields["OriginalID"].shape[0]
-    fb["OriginalID"] = to_blocks(bm, flat_fields["OriginalID"],
-                                 fill=jnp.iinfo(jnp.int32).max)
+    fills = dict(_FILLS)
+    fills["OriginalID"] = jnp.iinfo(jnp.int32).max
+    fb = to_blocks_packed(bm, flat_fields, fills)
     fb["SlotMask"] = _slot_mask_2d(bm)
     nbr_inner = bm.nbr_block
-    nbr_wall = cross_neighbor_blocks(bm.occ_cells, case.grid, case.bm_wall)
+    nbr_wall = cross_neighbor_blocks(bm.occ_cells, case.grid, case.bm_wall,
+                                     src_dense_map=case.wall_dense_map)
     return fb, nbr_inner, nbr_wall, bm.overflow
 
 
@@ -154,17 +159,20 @@ def _advection_step(case: BlockCase, s: BlockSim) -> BlockSim:
     fb = s.fluid_b
 
     dt_adv = fbops.advection_time_step_b(fb, h, db.U_REF)
-    fb = fbops.density_summation_b(
-        fb, s.nbr_inner, kernel, dim, db.RHO0_F, sigma0,
-        contacts=[(case.wall_b, s.nbr_wall, db.RHO0_F)], free_surface=True)
+    if case.use_pallas:
+        wall_jt, wflags = fbops.pack_wall_t(
+            case.wall_b, s.nbr_wall, case.bm_wall.c_max, case.tile_c)
+        fb = fbops.density_summation_p2(
+            fb, s.nbr_inner, wall_jt, wflags, kernel, db.RHO0_F, sigma0,
+            tile_c=case.tile_c, interpret=case.pallas_interpret)
+    else:
+        fb = fbops.density_summation_b(
+            fb, s.nbr_inner, kernel, dim, db.RHO0_F, sigma0,
+            contacts=[(case.wall_b, s.nbr_wall, db.RHO0_F)], free_surface=True)
 
     def ac_cond(carry):
         _, rt, _ = carry
         return rt < dt_adv
-
-    if case.use_pallas:
-        wall_jt, wflags = fbops.pack_wall_t(
-            case.wall_b, s.nbr_wall, case.bm_wall.c_max, case.tile_c)
 
     def ac_body(carry):
         f, rt, k = carry

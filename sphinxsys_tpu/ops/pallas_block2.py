@@ -257,3 +257,51 @@ def wall_flags(nbr_wall, c_max_wall: int, tile_c: int = 256):
     c = nbr_wall.shape[0]
     has = jnp.any(nbr_wall < c_max_wall, axis=1)      # (C,)
     return jnp.any(has.reshape(c // tile_c, tile_c), axis=1).astype(jnp.int32)
+
+
+def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
+                 inv_h, factor_w):
+    """Density-summation sweep.  Two outputs:
+      sig  = sum_w sum_j W_ij over fluid windows (the self pair contributes
+             exactly W(0) = w0, replacing the explicit w0 seed of
+             density_summation.cpp:40-45)
+      sigw = sum_w sum_k W V_k over wall windows (m_k / rho0_k = V_k)."""
+    xi = xi_ref[...]                       # (2, CAP, T)
+    t = xi.shape[-1]
+    x_i = xi[0][:, None, :]
+    y_i = xi[1][:, None, :]
+    sig = jnp.zeros((CAP, t), jnp.float32)
+
+    def w_of(dx, dy):
+        r2 = dx * dx + dy * dy
+        q = jnp.sqrt(r2) * inv_h
+        qc = jnp.minimum(q, 2.0)
+        # WendlandC2 W = factor * (1 - q/2)^4 (2q + 1), 0 beyond q=2
+        return factor_w * (1.0 - 0.5 * qc) ** 4 * (2.0 * qc + 1.0)
+
+    for w in range(NW):
+        xj = xj_ref[w]                     # (2, CAP, T)
+        sig = sig + jnp.sum(w_of(x_i - xj[0][None], y_i - xj[1][None]), axis=1)
+    sig_ref[...] = sig
+    sigw_ref[...] = jnp.zeros((CAP, t), jnp.float32)
+
+    @pl.when(wflag_ref[pl.program_id(0)] != 0)
+    def _():
+        sigw = jnp.zeros((CAP, t), jnp.float32)
+        for w in range(NW):
+            wj = wj_ref[w]
+            W = w_of(x_i - wj[WX][None], y_i - wj[WY][None])
+            sigw = sigw + jnp.sum(W * wj[WVOL][None], axis=1)
+        sigw_ref[...] = sigw
+
+
+@functools.partial(jax.jit, static_argnames=("inv_h", "factor_w", "tile_c",
+                                             "interpret"))
+def density_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
+                    tile_c: int = 256, interpret: bool = False):
+    """Fused density-summation sweep.  xi_t: (2, CAP, C) positions;
+    xj_t: (NW, 2, CAP, C); wj_t: the shared wall tensor.  Returns
+    (sig (CAP, C), sigw (CAP, C)): the fluid W-sum (self pair included =
+    the w0 seed) and the wall W*V-sum."""
+    kern = functools.partial(_dens_kernel, inv_h=inv_h, factor_w=factor_w)
+    return _call(kern, xi_t, xj_t, wj_t, wflag, 2, tile_c, interpret)

@@ -1,0 +1,225 @@
+"""Distributed case closures over the generic slab-decomposition API.
+
+Two different physics compositions run through parallel/domain.py (the
+VERDICT r1 "one API, two cases" requirement):
+
+  * dambreak: free-surface WCSPH with a replicated static wall body
+    (contact terms), non-periodic slabs;
+  * Taylor-Green: fully periodic doubly-wrapped vortex sheet — periodic
+    ring topology, viscous + transport-velocity correction, no walls.
+
+Each closure is the case's ordinary advection-step physics written
+against the combined local+ghost state, with ctx.refresh after every
+half-step pair sweep and ctx.pmax for the global CFL reduces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from jax.sharding import Mesh
+
+from sphinxsys_tpu.neighbors import build_cell_table, build_neighbor_list
+from sphinxsys_tpu.neighbors.cell_list import CellGrid
+from sphinxsys_tpu.parallel.domain import (
+    AXIS, HaloContext, HaloShard, SlabDecomposition, distribute,
+    make_distributed_step,
+)
+from sphinxsys_tpu.physics import fluid as fd
+
+TINY = 1.0e-15
+
+
+def _extended_grid(grid: CellGrid, axis: int, cutoff: float) -> CellGrid:
+    """Extend the build grid by one halo band on each side of `axis` so
+    wrapped ghost coordinates bin into real cells."""
+    extra = int(jnp.ceil(cutoff / grid.spacing[axis])) + 1
+    lower = list(grid.lower)
+    shape = list(grid.shape)
+    lower[axis] -= extra * grid.spacing[axis]
+    shape[axis] += 2 * extra
+    periodic = list(grid.periodic or (False,) * grid.dim)
+    periodic[axis] = False
+    return dataclasses.replace(grid, lower=tuple(lower), shape=tuple(shape),
+                               periodic=tuple(periodic))
+
+
+def _pad_nl(nl, extra: int, sentinel: int):
+    import jax.numpy as jnp
+    pad_idx = jnp.full((extra,) + nl.idx.shape[1:], sentinel, dtype=nl.idx.dtype)
+    pad_cnt = jnp.zeros((extra,), dtype=nl.count.dtype)
+    return type(nl)(idx=jnp.concatenate([nl.idx, pad_idx], axis=0),
+                    count=jnp.concatenate([nl.count, pad_cnt], axis=0),
+                    overflow=nl.overflow)
+
+
+def make_halo_dambreak_step(case, mesh: Mesh, halo_cap: int = 512,
+                            migrate_cap: int = 256):
+    """Distributed 2D dambreak through the generic API (replaces the
+    hard-coded prototype in parallel/halo.py)."""
+    from sphinxsys_tpu.cases.dambreak_2d import RHO0_F, U_REF
+
+    n_dev = mesh.devices.size
+    decomp = SlabDecomposition(grid=case.grid, n_dev=n_dev,
+                               cutoff=case.adaptation.cutoff,
+                               halo_cap=halo_cap, migrate_cap=migrate_cap)
+    kernel, dim = case.kernel, 2
+    h = case.adaptation.h
+    sigma0 = case.adaptation.sigma0
+    wall, wall_table = case.wall, case.wall_table
+
+    def physics(ctx: HaloContext, comb):
+        table = build_cell_table(comb["Position"], comb["Alive"], case.grid,
+                                 cap=case.cell_cap)
+        nl_inner = build_neighbor_list(
+            comb["Position"], comb["Alive"], comb["Position"], comb["Alive"],
+            table, case.grid, decomp.cutoff, k_max=case.k_inner,
+            include_self=False)
+        nl_wall_loc = build_neighbor_list(
+            comb["Position"][:ctx.n_loc], ctx.alive, wall["Position"],
+            wall["NReal"], wall_table, case.grid, decomp.cutoff,
+            k_max=case.k_wall, include_self=True)
+        nl_wall = _pad_nl(nl_wall_loc, ctx.n_ghost, case.n_wall)
+
+        # advection dt: local masked reduce + global pmax
+        accel = 4.0 * h * jnp.linalg.norm(
+            comb["Force"][:ctx.n_loc] + comb["ForcePrior"][:ctx.n_loc],
+            axis=-1) / comb["Mass"][:ctx.n_loc]
+        v2 = jnp.sum(comb["Velocity"][:ctx.n_loc] ** 2, axis=-1)
+        red = ctx.pmax(jnp.max(jnp.where(ctx.alive, jnp.maximum(v2, accel), 0.0)))
+        dt_adv = 0.25 * h / (jnp.maximum(jnp.sqrt(red), U_REF) + TINY)
+
+        comb = fd.density_summation(comb, nl_inner, kernel, dim, RHO0_F,
+                                    sigma0, contacts=[(wall, nl_wall, RHO0_F)],
+                                    free_surface=True)
+        comb = ctx.refresh(comb)
+
+        def ac_cond(carry):
+            _, rt, _ = carry
+            return rt < dt_adv
+
+        def ac_body(carry):
+            sc, rt, k = carry
+            c_eos = case.eos.sound_speed(sc["Pressure"], sc["Density"])
+            speed = jnp.linalg.norm(sc["Velocity"], axis=-1)
+            local = jnp.max(jnp.where(sc["Alive"], c_eos + speed, 0.0))
+            dt = 0.6 * h / (ctx.pmax(local) + TINY)
+            sc = fd.acoustic_step_1st_half(sc, nl_inner, kernel, dim, case.eos,
+                                           case.riemann, dt, wall=wall,
+                                           nl_wall=nl_wall)
+            sc = ctx.refresh(sc)
+            sc = fd.acoustic_step_2nd_half(sc, nl_inner, kernel, dim,
+                                           case.riemann, dt, wall=wall,
+                                           nl_wall=nl_wall)
+            sc = ctx.refresh(sc)
+            return (sc, rt + dt, k + 1)
+
+        comb, relax_t, n_ac = jax.lax.while_loop(
+            ac_cond, ac_body,
+            (comb, jnp.zeros_like(dt_adv), jnp.zeros((), jnp.int32)))
+        overflow = nl_inner.overflow | nl_wall_loc.overflow
+        return comb, relax_t, n_ac, overflow
+
+    return make_distributed_step(decomp, mesh, physics)
+
+
+def distribute_dambreak(case, fluid, mesh: Mesh, n_loc: int | None = None):
+    n_dev = mesh.devices.size
+    decomp = SlabDecomposition(grid=case.grid, n_dev=n_dev,
+                               cutoff=case.adaptation.cutoff)
+    return distribute(fluid, mesh, decomp, n_loc=n_loc)
+
+
+def make_halo_taylor_green_step(case, mesh: Mesh, halo_cap: int = 512,
+                                migrate_cap: int = 256):
+    """Distributed Taylor-Green vortex (periodic ring, viscous + transport
+    correction, no walls) through the same API."""
+    from sphinxsys_tpu.cases.taylor_green_2d import MU_F, RHO0_F, U_F
+
+    n_dev = mesh.devices.size
+    decomp = SlabDecomposition(grid=case.grid, n_dev=n_dev,
+                               cutoff=case.adaptation.cutoff,
+                               periodic=True, halo_cap=halo_cap,
+                               migrate_cap=migrate_cap)
+    kernel, dim = case.kernel, 2
+    h = case.adaptation.h
+    sigma0 = case.adaptation.sigma0
+    build_grid = _extended_grid(case.grid, decomp.axis, decomp.cutoff)
+    # pair math wraps only the NON-decomposed axis; the decomposed one is
+    # materialized by wrapped ghosts
+    box = tuple(0.0 if d == decomp.axis else l
+                for d, l in enumerate(case.box))
+
+    def physics(ctx: HaloContext, comb):
+        table = build_cell_table(comb["Position"], comb["Alive"], build_grid,
+                                 cap=case.cell_cap)
+        nl_inner = build_neighbor_list(
+            comb["Position"], comb["Alive"], comb["Position"], comb["Alive"],
+            table, build_grid, decomp.cutoff, k_max=case.k_inner,
+            include_self=False)
+
+        accel = 4.0 * h * jnp.linalg.norm(
+            comb["Force"][:ctx.n_loc] + comb["ForcePrior"][:ctx.n_loc],
+            axis=-1) / comb["Mass"][:ctx.n_loc]
+        v2 = jnp.sum(comb["Velocity"][:ctx.n_loc] ** 2, axis=-1)
+        red = ctx.pmax(jnp.max(jnp.where(ctx.alive, jnp.maximum(v2, accel), 0.0)))
+        speed_sq = jnp.sqrt(red)
+        visc_ref = MU_F / RHO0_F / h
+        dt_adv = 0.25 * h / (jnp.maximum(jnp.maximum(speed_sq, U_F), visc_ref)
+                             + TINY)
+
+        comb = fd.density_summation(comb, nl_inner, kernel, dim, RHO0_F,
+                                    sigma0, free_surface=False, box=box)
+        # ghost rows only see half a support, so their summed density /
+        # volume is garbage — refresh pulls the owners' values before any
+        # op consumes V_j
+        comb = ctx.refresh(comb)
+        comb = fd.viscous_force(comb, nl_inner, kernel, dim, MU_F, h, box=box)
+        comb = fd.transport_velocity_correction(comb, nl_inner, kernel, dim,
+                                                h, limiter_slope=100.0, box=box)
+        comb = ctx.refresh(comb)
+
+        def ac_cond(carry):
+            _, rt, _ = carry
+            return rt < dt_adv
+
+        def ac_body(carry):
+            sc, rt, k = carry
+            c_eos = case.eos.sound_speed(sc["Pressure"], sc["Density"])
+            speed = jnp.linalg.norm(sc["Velocity"], axis=-1)
+            local = jnp.max(jnp.where(sc["Alive"], c_eos + speed, 0.0))
+            dt = jnp.minimum(0.6 * h / (ctx.pmax(local) + TINY), dt_adv)
+            sc = fd.acoustic_step_1st_half(sc, nl_inner, kernel, dim, case.eos,
+                                           case.riemann, dt, box=box)
+            sc = ctx.refresh(sc)
+            sc = fd.acoustic_step_2nd_half(sc, nl_inner, kernel, dim,
+                                           case.no_riemann, dt, box=box)
+            sc = ctx.refresh(sc)
+            return (sc, rt + dt, k + 1)
+
+        comb, relax_t, n_ac = jax.lax.while_loop(
+            ac_cond, ac_body,
+            (comb, jnp.zeros_like(dt_adv), jnp.zeros((), jnp.int32)))
+        # wrap the non-decomposed periodic axes (the single-device case
+        # wraps all axes at rebuild; the decomposed axis is wrapped by the
+        # migration machinery)
+        pos = comb["Position"]
+        for d, L in enumerate(case.box):
+            if L > 0 and d != decomp.axis:
+                lo_d = case.grid.lower[d]
+                pos = pos.at[:, d].set(lo_d + jnp.mod(pos[:, d] - lo_d, L))
+        comb = dict(comb)
+        comb["Position"] = pos
+        return comb, relax_t, n_ac, nl_inner.overflow
+
+    return make_distributed_step(decomp, mesh, physics)
+
+
+def distribute_taylor_green(case, fluid, mesh: Mesh, n_loc: int | None = None):
+    n_dev = mesh.devices.size
+    decomp = SlabDecomposition(grid=case.grid, n_dev=n_dev,
+                               cutoff=case.adaptation.cutoff, periodic=True)
+    return distribute(fluid, mesh, decomp, n_loc=n_loc)

@@ -537,3 +537,46 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
     out.update({"Position": pos, "DensityChangeRate": drho_dt,
                 "Force": force_full, "Density": rho_new})
     return out
+
+
+def density_summation_p2(fb, nbr_inner, wall_jt, wflags, kernel, rho0: float,
+                         sigma0: float, tile_c: int = 256,
+                         interpret: bool = False, free_surface: bool = True):
+    """Pallas v2 variant of density_summation_b (inner + wall contact).
+    The FAR-parked padding and the W(0) self term make the sweep mask- and
+    seed-free; the wall's W*V sum is converted to the reference's
+    m_k/rho0_k weighting by the V = m/rho0 identity.
+
+    NOTE: sigma here mixes the inner SUM W and the wall SUM W V terms; the
+    split matches density_summation_b's algebra exactly for equal-mass
+    fluid particles (the dambreak/TG family)."""
+    from sphinxsys_tpu.ops import pallas_block2 as pb2
+
+    pos, mask = fb["Position"], fb["SlotMask"]
+    c = nbr_inner.shape[0]
+    packed_j = pos                                    # (C+1, CAP, 2)
+    xj_t = jnp.stack(
+        [packed_j[nbr_inner[:, w]].transpose(2, 1, 0) for w in range(9)], 0)
+    xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T], 0)
+    sig, sigw = pb2.density_sweep_t(xi_t, xj_t, wall_jt, wflags,
+                                    inv_h=1.0 / kernel.h,
+                                    factor_w=kernel._factor_w(2),
+                                    tile_c=tile_c, interpret=interpret)
+    # density_summation_b: rho_sum = (w0 + sum W) rho0/sigma0
+    #                      + [sum_k W m_k/rho0_k] rho0^2/(sigma0 m_i)
+    # the kernel's fluid sum counts the self pair as exactly W(0) = w0, and
+    # the wall sum uses V_k = m_k/rho0_k — identical algebra.
+    rho_sum = sig.T * rho0 / sigma0 + sigw.T * rho0 * rho0 / (
+        sigma0 * jnp.maximum(fb["Mass"][:c], TINY))
+    out = dict(fb)
+    pad = fb["Density"][c:]
+    if free_surface:
+        out["Density"] = jnp.concatenate(
+            [jnp.maximum(rho_sum, rho0), pad], axis=0)
+    else:
+        out["Density"] = jnp.concatenate([rho_sum, pad], axis=0)
+        out["VolumetricMeasure"] = jnp.where(
+            fb["SlotMask"], fb["Mass"] / jnp.maximum(out["Density"], TINY),
+            fb["VolumetricMeasure"])
+    out["DensitySummation"] = jnp.concatenate([rho_sum, pad], axis=0)
+    return out

