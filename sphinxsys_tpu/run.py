@@ -104,6 +104,9 @@ CASES = {
     "column_collapse_2d": _run_single_fluid(
         "column_collapse_2d",
         lambda c, s: {"SoilBody": s.soil, "Wall": c.wall}, t_end=1.0),
+    "fish_fsi_2d": _run_single_fluid(
+        "fish_fsi_2d",
+        lambda c, s: {"WaterBody": s.fluid, "FishBody": s.fish}, t_end=1.7),
     "dambreak_2d_block": _run_single_fluid(
         "dambreak_2d_block",
         lambda c, s: {"WaterBody": __import__(
