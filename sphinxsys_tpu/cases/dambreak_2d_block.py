@@ -160,8 +160,11 @@ def _advection_step(case: BlockCase, s: BlockSim) -> BlockSim:
 
     dt_adv = fbops.advection_time_step_b(fb, h, db.U_REF)
     if case.use_pallas:
+        n_occ_cells = jnp.sum(jnp.any(s.fluid_b["SlotMask"][:-1], axis=1)
+                              .astype(jnp.int32))
         wall_jt, wflags = fbops.pack_wall_t(
-            case.wall_b, s.nbr_wall, case.bm_wall.c_max, case.tile_c)
+            case.wall_b, s.nbr_wall, case.bm_wall.c_max, case.tile_c,
+            n_occ=n_occ_cells)
         fb = fbops.density_summation_p2(
             fb, s.nbr_inner, wall_jt, wflags, kernel, db.RHO0_F, sigma0,
             tile_c=case.tile_c, interpret=case.pallas_interpret)

@@ -11,6 +11,9 @@ from __future__ import annotations
 
 import dataclasses
 
+import math
+
+import jax
 import jax.numpy as jnp
 
 
@@ -212,3 +215,197 @@ class NeoHookeanSolid(ElasticSolid):
         dev = Jm23[..., None, None] * (eye - (trC / dim)[..., None, None] * Cinv)
         vol = (K * J * (J - 1.0))[..., None, None] * Cinv
         return G * dev + vol
+
+
+@dataclasses.dataclass(frozen=True)
+class FeneNeoHookeanSolid(ElasticSolid):
+    """Neo-Hookean with finite extensibility (elastic_solid.cpp:200-207):
+        S = G / (1 - 2 tr(E)/J1m) I + (lambda (J-1) - G) J C^{-1}
+    with E the Green-Lagrange strain and J1m the reference extension."""
+
+    j1_m: float = 1.0
+
+    def stress_PK2(self, F):
+        dim = F.shape[-1]
+        eye = jnp.eye(dim, dtype=F.dtype)
+        C = jnp.swapaxes(F, -1, -2) @ F
+        strain_tr = 0.5 * (jnp.trace(C, axis1=-2, axis2=-1) - dim)
+        J = jnp.linalg.det(F)
+        Cinv = jnp.linalg.inv(C)
+        G, lam = self.shear_modulus, self.lambda0
+        return (G / (1.0 - 2.0 * strain_tr / self.j1_m))[..., None, None] * eye \
+            + ((lam * (J - 1.0) - G) * J)[..., None, None] * Cinv
+
+
+@dataclasses.dataclass(frozen=True)
+class OrthotropicSolid(ElasticSolid):
+    """Orthotropic elasticity with 3 principal directions
+    (elastic_solid.h:248-282, elastic_solid.cpp:154-198,
+    elastic_solid_3d.cpp:7-35; the reference implements 3D only).  The
+    per-direction shear combination Mu_i = 1/G_i + 1/G_k - 1/G_j is
+    replicated verbatim from elastic_solid_3d.cpp:10-12.  The base-class
+    (E, nu) are the maxima, used for sound speed / time stepping as in the
+    reference constructor."""
+
+    a: tuple = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+    E: tuple = (1.0, 1.0, 1.0)
+    G: tuple = (0.5, 0.5, 0.5)
+    poisson: tuple = (0.3, 0.3, 0.3)
+
+    def __post_init__(self):
+        object.__setattr__(self, "youngs_modulus", max(self.E))
+        object.__setattr__(self, "poisson_ratio", max(self.poisson))
+
+    def _params(self, dtype):
+        import numpy as _np
+
+        E, nu, G = self.E, self.poisson, self.G
+        mu = _np.asarray([1 / G[0] + 1 / G[2] - 1 / G[1],
+                          1 / G[1] + 1 / G[0] - 1 / G[2],
+                          1 / G[2] + 1 / G[1] - 1 / G[0]])
+        compliance = _np.asarray([
+            [1 / E[0], -nu[0] / E[0], -nu[1] / E[0]],
+            [-nu[0] / E[1], 1 / E[1], -nu[2] / E[1]],
+            [-nu[1] / E[2], -nu[2] / E[1], 1 / E[2]]]).T
+        cinv = _np.linalg.inv(compliance)
+        lam = cinv.copy()
+        for i in range(3):
+            lam[i, i] = cinv[i, i] - 2 * mu[i]
+        A = _np.asarray([_np.outer(self.a[i], self.a[i]) for i in range(3)])
+        return (jnp.asarray(mu, dtype), jnp.asarray(lam, dtype),
+                jnp.asarray(A, dtype))
+
+    def stress_PK2(self, F):
+        dtype = F.dtype
+        mu, lam, A = self._params(dtype)
+        eye = jnp.eye(3, dtype=dtype)
+        strain = 0.5 * (jnp.swapaxes(F, -1, -2) @ F - eye)
+        stress = jnp.zeros_like(strain)
+        bidot = jnp.einsum("aij,...ij->...a", A, strain)   # (..., 3)
+        for i in range(3):
+            summa = jnp.zeros_like(strain)
+            for j in range(3):
+                summa = summa + lam[i, j] * (
+                    bidot[..., i, None, None] * A[j]
+                    + bidot[..., j, None, None] * A[i])
+            stress = stress + mu[i] * (A[i] @ strain + strain @ A[i]
+                                       + 0.5 * summa)
+        return stress
+
+
+@dataclasses.dataclass(frozen=True)
+class HardeningPlasticSolid(ElasticSolid):
+    """J2 plasticity with linear isotropic hardening via radial return on
+    the normalized elastic left Cauchy-Green tensor
+    (inelastic_solid.h:60-100, inelastic_solid.cpp:31-54).  Stateful:
+    carries (inverse_plastic_strain (..,d,d), hardening_parameter (..,))
+    per particle through `elastic_left_cauchy`."""
+
+    yield_stress: float = 1.0
+    hardening_modulus: float = 0.0
+
+    def initial_plastic_state(self, n: int, dim: int, dtype=jnp.float32):
+        eye = jnp.broadcast_to(jnp.eye(dim, dtype=dtype), (n, dim, dim))
+        return eye, jnp.zeros((n,), dtype)
+
+    def _trial(self, be, kappa):
+        dim = be.shape[-1]
+        G0 = self.shear_modulus
+        nbe = be * (jnp.linalg.det(be) ** (-1.0 / dim))[..., None, None]
+        iso = jnp.trace(nbe, axis1=-2, axis2=-1) / dim
+        eye = jnp.eye(dim, dtype=be.dtype)
+        dev_kirchhoff = G0 * (nbe - iso[..., None, None] * eye)
+        dk_norm = jnp.linalg.norm(dev_kirchhoff, axis=(-2, -1))
+        return nbe, iso, dev_kirchhoff, dk_norm
+
+    def _flow_stress(self, kappa):
+        return self.hardening_modulus * kappa + self.yield_stress
+
+    def elastic_left_cauchy(self, F, inv_plastic_strain, kappa):
+        """Radial-return update.  Returns (normalized_be, inv_ps', kappa')."""
+        sqrt23 = math.sqrt(2.0 / 3.0)
+        G0 = self.shear_modulus
+        be = F @ inv_plastic_strain @ jnp.swapaxes(F, -1, -2)
+        nbe, iso, dev_k, dk_norm = self._trial(be, kappa)
+        trial = dk_norm - sqrt23 * self._flow_stress(kappa)
+        Gr = iso * G0
+        relax = jnp.maximum(trial, 0.0) * 0.5 / (Gr + self.hardening_modulus / 3.0)
+        kappa_new = kappa + sqrt23 * relax
+        dim = F.shape[-1]
+        eye = jnp.eye(dim, dtype=F.dtype)
+        dev_relaxed = dev_k - (2.0 * Gr * relax / jnp.maximum(dk_norm, 1e-15)
+                               )[..., None, None] * dev_k
+        relaxed_be = dev_relaxed / G0 + iso[..., None, None] * eye
+        nbe_new = relaxed_be * (jnp.linalg.det(relaxed_be)
+                                ** (-1.0 / dim))[..., None, None]
+        yielded = (trial > 0.0)[..., None, None]
+        nbe_out = jnp.where(yielded, nbe_new, nbe)
+        inv_F = jnp.linalg.inv(F)
+        inv_ps_new = inv_F @ nbe_out @ jnp.swapaxes(inv_F, -1, -2)
+        return nbe_out, inv_ps_new, jnp.where(trial > 0.0, kappa_new, kappa)
+
+    def kirchhoff_stress(self, normalized_be, J):
+        """tau = G0 dev(be_n) + K0 J (J - 1) I (DeviatoricKirchhoff +
+        LinearElasticSolid::VolumetricKirchhoff)."""
+        dim = normalized_be.shape[-1]
+        eye = jnp.eye(dim, dtype=normalized_be.dtype)
+        iso = jnp.trace(normalized_be, axis1=-2, axis2=-1) / dim
+        dev = self.shear_modulus * (normalized_be - iso[..., None, None] * eye)
+        vol = (self.bulk_modulus * J * (J - 1.0))[..., None, None] * eye
+        return dev + vol
+
+
+@dataclasses.dataclass(frozen=True)
+class NonLinearHardeningPlasticSolid(HardeningPlasticSolid):
+    """Saturation-type nonlinear hardening (inelastic_solid.h:103-136,
+    inelastic_solid.cpp:56-80): flow stress
+      sigma_y(k) = H k + sigma_0 + (sigma_inf - sigma_0)(1 - e^{-n k})
+    solved by a few Newton iterations on the return increment."""
+
+    saturation_flow_stress: float = 1.0
+    saturation_exponent: float = 1.0
+
+    def _flow_stress(self, kappa):
+        return (self.hardening_modulus * kappa + self.yield_stress
+                + (self.saturation_flow_stress - self.yield_stress)
+                * (1.0 - jnp.exp(-self.saturation_exponent * kappa)))
+
+    def _flow_stress_derivative(self, kappa):
+        return (self.hardening_modulus + self.saturation_exponent
+                * (self.saturation_flow_stress - self.yield_stress)
+                * jnp.exp(-self.saturation_exponent * kappa))
+
+    def elastic_left_cauchy(self, F, inv_plastic_strain, kappa):
+        sqrt23 = math.sqrt(2.0 / 3.0)
+        G0 = self.shear_modulus
+        dim = F.shape[-1]
+        nF = F * (jnp.linalg.det(F) ** (-1.0 / dim))[..., None, None]
+        be = nF @ inv_plastic_strain @ jnp.swapaxes(nF, -1, -2)
+        nbe, iso, dev_k, dk_norm = self._trial(be, kappa)
+        trial0 = dk_norm - sqrt23 * self._flow_stress(kappa)
+        Gr = iso * G0
+
+        def newton(relax, _):
+            k_try = kappa + sqrt23 * relax
+            f = dk_norm - sqrt23 * self._flow_stress(k_try) - 2.0 * Gr * relax
+            df = -2.0 * Gr * (1.0 + self._flow_stress_derivative(k_try)
+                              / (3.0 * Gr))
+            return relax - f / df, None
+
+        relax0 = jnp.zeros_like(kappa)
+        relax = relax0
+        for _ in range(8):            # fixed Newton iterations
+            relax, _ = newton(relax, None)
+        relax = jnp.maximum(relax, 0.0)
+        kappa_new = kappa + sqrt23 * relax
+        eye = jnp.eye(dim, dtype=F.dtype)
+        dev_relaxed = dev_k - (2.0 * Gr * relax / jnp.maximum(dk_norm, 1e-15)
+                               )[..., None, None] * dev_k
+        relaxed_be = dev_relaxed / G0 + iso[..., None, None] * eye
+        nbe_new = relaxed_be * (jnp.linalg.det(relaxed_be)
+                                ** (-1.0 / dim))[..., None, None]
+        yielded = (trial0 > 0.0)
+        nbe_out = jnp.where(yielded[..., None, None], nbe_new, nbe)
+        inv_F = jnp.linalg.inv(nF)
+        inv_ps_new = inv_F @ nbe_out @ jnp.swapaxes(inv_F, -1, -2)
+        return nbe_out, inv_ps_new, jnp.where(yielded, kappa_new, kappa)

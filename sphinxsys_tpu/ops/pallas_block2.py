@@ -73,32 +73,45 @@ def _wendland_dwv(dx, dy, vol_j, inv_h, factor_w):
 
 def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, fx_ref, fy_ref, rd_ref, *,
                 inv_h, factor_w, inv_rho0c0):
-    xi = xi_ref[...]                       # (6, CAP, T)
-    t = xi.shape[-1]
-    x_i = xi[I1X][:, None, :]
-    y_i = xi[I1Y][:, None, :]
-    p_i = xi[I1P][:, None, :]
-    fx = jnp.zeros((CAP, t), jnp.float32)
-    fy = jnp.zeros((CAP, t), jnp.float32)
-    rd = jnp.zeros((CAP, t), jnp.float32)
-    for w in range(NW):
-        xj = xj_ref[w]                     # (4, CAP, T)
-        dx = x_i - xj[J1X][None]
-        dy = y_i - xj[J1Y][None]
-        dwv, inv_r, _ = _wendland_dwv(dx, dy, xj[J1VOL][None], inv_h, factor_w)
-        p_j = xj[J1P][None]
-        psum = (p_i + p_j) * dwv * inv_r
-        fx = fx - jnp.sum(psum * dx, axis=1)
-        fy = fy - jnp.sum(psum * dy, axis=1)
-        rd = rd + jnp.sum((p_i - p_j) * dwv, axis=1) * inv_rho0c0
-    fx_ref[...] = fx
-    fy_ref[...] = fy
-    rd_ref[...] = rd
+    t = xi_ref.shape[-1]
+    fx_ref[...] = jnp.zeros((CAP, t), jnp.float32)
+    fy_ref[...] = jnp.zeros((CAP, t), jnp.float32)
+    rd_ref[...] = jnp.zeros((CAP, t), jnp.float32)
+
+    # tiles beyond the occupied block range are all-sentinel: skip
+    @pl.when(wflag_ref[pl.program_id(0)] >= 0)
+    def _():
+        xi = xi_ref[...]                   # (6, CAP, T)
+        x_i = xi[I1X][:, None, :]
+        y_i = xi[I1Y][:, None, :]
+        p_i = xi[I1P][:, None, :]
+        facc = jnp.zeros((CAP, CAP, t), jnp.float32)
+        fxa = jnp.zeros((CAP, CAP, t), jnp.float32)
+        fya = jnp.zeros((CAP, CAP, t), jnp.float32)
+        rda = jnp.zeros((CAP, CAP, t), jnp.float32)
+        for w in range(NW):
+            xj = xj_ref[w]                 # (4, CAP, T)
+            dx = x_i - xj[J1X][None]
+            dy = y_i - xj[J1Y][None]
+            dwv, inv_r, _ = _wendland_dwv(dx, dy, xj[J1VOL][None], inv_h,
+                                          factor_w)
+            p_j = xj[J1P][None]
+            psum = (p_i + p_j) * dwv * inv_r
+            fxa = fxa - psum * dx
+            fya = fya - psum * dy
+            rda = rda + (p_i - p_j) * dwv
+        fx_ref[...] = jnp.sum(fxa, axis=1)
+        fy_ref[...] = jnp.sum(fya, axis=1)
+        rd_ref[...] = jnp.sum(rda, axis=1) * inv_rho0c0
 
     # wall windows (fluid_integration.hpp:89-113): p-in-wall hydrostatic
     # reconstruction from the prior acceleration; predicated per tile
-    @pl.when(wflag_ref[pl.program_id(0)] != 0)
+    @pl.when(wflag_ref[pl.program_id(0)] > 0)
     def _():
+        xi = xi_ref[...]
+        x_i = xi[I1X][:, None, :]
+        y_i = xi[I1Y][:, None, :]
+        p_i = xi[I1P][:, None, :]
         rho_i = xi[I1RHO][:, None, :]
         ax_i = xi[I1AX][:, None, :]
         ay_i = xi[I1AY][:, None, :]
@@ -127,36 +140,49 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, fx_ref, fy_ref, rd_ref, *,
 
 def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, fx_ref, fy_ref, *,
                 inv_h, factor_w, rho0c0_geo, inv_c0, limiter_coeff):
-    xi = xi_ref[...]                       # (4, CAP, T)
-    t = xi.shape[-1]
-    x_i = xi[I2X][:, None, :]
-    y_i = xi[I2Y][:, None, :]
-    vx_i = xi[I2VX][:, None, :]
-    vy_i = xi[I2VY][:, None, :]
-    dcr = jnp.zeros((CAP, t), jnp.float32)
-    fx = jnp.zeros((CAP, t), jnp.float32)
-    fy = jnp.zeros((CAP, t), jnp.float32)
-    for w in range(NW):
-        xj = xj_ref[w]                     # (5, CAP, T)
-        dx = x_i - xj[J2X][None]
-        dy = y_i - xj[J2Y][None]
-        dwv, inv_r, _ = _wendland_dwv(dx, dy, xj[J2VOL][None], inv_h, factor_w)
-        ex = dx * inv_r
-        ey = dy * inv_r
-        du = vx_i - xj[J2VX][None]
-        dv = vy_i - xj[J2VY][None]
-        u_jump = du * ex + dv * ey
-        dcr = dcr + jnp.sum(u_jump * dwv, axis=1)
-        lim = jnp.minimum(limiter_coeff * inv_c0 * jnp.maximum(u_jump, 0.0), 1.0)
-        pj = rho0c0_geo * u_jump * lim * dwv
-        fx = fx + jnp.sum(pj * ex, axis=1)
-        fy = fy + jnp.sum(pj * ey, axis=1)
-    dcr_ref[...] = dcr
-    fx_ref[...] = fx
-    fy_ref[...] = fy
+    t = xi_ref.shape[-1]
+    dcr_ref[...] = jnp.zeros((CAP, t), jnp.float32)
+    fx_ref[...] = jnp.zeros((CAP, t), jnp.float32)
+    fy_ref[...] = jnp.zeros((CAP, t), jnp.float32)
 
-    @pl.when(wflag_ref[pl.program_id(0)] != 0)
+    @pl.when(wflag_ref[pl.program_id(0)] >= 0)
     def _():
+        xi = xi_ref[...]                   # (4, CAP, T)
+        x_i = xi[I2X][:, None, :]
+        y_i = xi[I2Y][:, None, :]
+        vx_i = xi[I2VX][:, None, :]
+        vy_i = xi[I2VY][:, None, :]
+        dcra = jnp.zeros((CAP, CAP, t), jnp.float32)
+        fxa = jnp.zeros((CAP, CAP, t), jnp.float32)
+        fya = jnp.zeros((CAP, CAP, t), jnp.float32)
+        for w in range(NW):
+            xj = xj_ref[w]                 # (5, CAP, T)
+            dx = x_i - xj[J2X][None]
+            dy = y_i - xj[J2Y][None]
+            dwv, inv_r, _ = _wendland_dwv(dx, dy, xj[J2VOL][None], inv_h,
+                                          factor_w)
+            ex = dx * inv_r
+            ey = dy * inv_r
+            du = vx_i - xj[J2VX][None]
+            dv = vy_i - xj[J2VY][None]
+            u_jump = du * ex + dv * ey
+            dcra = dcra + u_jump * dwv
+            lim = jnp.minimum(limiter_coeff * inv_c0 * jnp.maximum(u_jump, 0.0),
+                              1.0)
+            pj = rho0c0_geo * u_jump * lim * dwv
+            fxa = fxa + pj * ex
+            fya = fya + pj * ey
+        dcr_ref[...] = jnp.sum(dcra, axis=1)
+        fx_ref[...] = jnp.sum(fxa, axis=1)
+        fy_ref[...] = jnp.sum(fya, axis=1)
+
+    @pl.when(wflag_ref[pl.program_id(0)] > 0)
+    def _():
+        xi = xi_ref[...]
+        x_i = xi[I2X][:, None, :]
+        y_i = xi[I2Y][:, None, :]
+        vx_i = xi[I2VX][:, None, :]
+        vy_i = xi[I2VY][:, None, :]
         dcrw = jnp.zeros((CAP, t), jnp.float32)
         fxw = jnp.zeros((CAP, t), jnp.float32)
         fyw = jnp.zeros((CAP, t), jnp.float32)
@@ -251,12 +277,17 @@ def gather_t(packed, nbr):
     return packed[nbr].transpose(1, 3, 2, 0)
 
 
-def wall_flags(nbr_wall, c_max_wall: int, tile_c: int = 256):
-    """Per-tile int32 flag (n_tiles,), passed as scalar prefetch: does any
-    cell in the tile have any occupied wall window?"""
+def wall_flags(nbr_wall, c_max_wall: int, tile_c: int = 256, n_occ=None):
+    """Per-tile int32 flag (n_tiles,), passed as scalar prefetch:
+    1 = tile has occupied wall windows, 0 = occupied but wall-free,
+    -1 = entirely beyond the occupied block range (skipped outright)."""
     c = nbr_wall.shape[0]
     has = jnp.any(nbr_wall < c_max_wall, axis=1)      # (C,)
-    return jnp.any(has.reshape(c // tile_c, tile_c), axis=1).astype(jnp.int32)
+    flags = jnp.any(has.reshape(c // tile_c, tile_c), axis=1).astype(jnp.int32)
+    if n_occ is not None:
+        tile_start = jnp.arange(c // tile_c, dtype=jnp.int32) * tile_c
+        flags = jnp.where(tile_start < n_occ, flags, jnp.int32(-1))
+    return flags
 
 
 def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
@@ -285,7 +316,7 @@ def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
     sig_ref[...] = sig
     sigw_ref[...] = jnp.zeros((CAP, t), jnp.float32)
 
-    @pl.when(wflag_ref[pl.program_id(0)] != 0)
+    @pl.when(wflag_ref[pl.program_id(0)] > 0)
     def _():
         sigw = jnp.zeros((CAP, t), jnp.float32)
         for w in range(NW):

@@ -434,7 +434,8 @@ def sweep_geometry(pos_qb, mask_qb, pos_sb, mask_sb, nbr_block, w, kernel,
 # with per-window gathers at ~1/10 the prep cost of the v1 kernels.
 # ---------------------------------------------------------------------------
 
-def pack_wall_t(wall_b, nbr_wall, c_max_wall: int, tile_c: int = 256):
+def pack_wall_t(wall_b, nbr_wall, c_max_wall: int, tile_c: int = 256,
+                n_occ=None):
     """Per-advection-step wall prep for the fused sweeps: gather+transpose
     the static wall channels through the (C, 9) wall windows, plus per-tile
     any-wall flags.  Returns (wall_jt (9, 9, CAP, C), wflags (C/tile_c,))."""
@@ -449,7 +450,7 @@ def pack_wall_t(wall_b, nbr_wall, c_max_wall: int, tile_c: int = 256):
     ], axis=-1)                                   # (Cw+1, CAP, 9)
     wall_jt = jnp.stack(
         [packed[nbr_wall[:, w]].transpose(2, 1, 0) for w in range(9)], axis=0)
-    wflags = pb2.wall_flags(nbr_wall, c_max_wall, tile_c)
+    wflags = pb2.wall_flags(nbr_wall, c_max_wall, tile_c, n_occ=n_occ)
     return wall_jt, wflags
 
 

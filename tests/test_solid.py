@@ -103,3 +103,87 @@ def test_beam_energy_bounded(beam_run):
     ke = float(jnp.sum(0.5 * s.solid["Mass"] *
                        jnp.sum(s.solid["Velocity"] ** 2, axis=-1)))
     assert ke < 1.05 * ke0
+
+
+# ---------------------------------------------------------------------------
+# long-tail material laws (VERDICT r1 missing #8: FENE, orthotropic,
+# hardening plasticity — elastic_solid.h:248-341, inelastic_solid.h:40-136)
+# ---------------------------------------------------------------------------
+
+def test_fene_neo_hookean_matches_neo_hookean_at_small_strain():
+    from sphinxsys_tpu.core.materials import FeneNeoHookeanSolid
+
+    m = FeneNeoHookeanSolid(rho0=1.0, youngs_modulus=1.0e3, poisson_ratio=0.3,
+                            j1_m=10.0)
+    F = jnp.eye(3) * 1.001
+    S = m.stress_PK2(F[None])[0]
+    # symmetric, small, positive-definite-ish volumetric response
+    np.testing.assert_allclose(np.asarray(S), np.asarray(S).T, rtol=1e-5)
+    assert float(S[0, 0]) > 0.0
+    # stress stiffens as tr(E) approaches j1_m/2 (finite extensibility)
+    F2 = jnp.eye(3) * 1.5
+    S2 = m.stress_PK2(F2[None])[0]
+    assert float(S2[0, 0]) > 10.0 * float(S[0, 0])
+
+
+def test_orthotropic_solid_principal_stiffness_ordering():
+    from sphinxsys_tpu.core.materials import OrthotropicSolid
+
+    m = OrthotropicSolid(rho0=1.0,
+                         a=((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)),
+                         E=(4.0e3, 1.0e3, 1.0e3), G=(400.0, 400.0, 400.0),
+                         poisson=(0.2, 0.2, 0.2))
+    eps = 1e-3
+    S_x = m.stress_PK2((jnp.eye(3).at[0, 0].set(1 + eps))[None])[0]
+    S_y = m.stress_PK2((jnp.eye(3).at[1, 1].set(1 + eps))[None])[0]
+    # stiff direction x responds harder than y
+    assert float(S_x[0, 0]) > 2.0 * float(S_y[1, 1])
+    # zero stress at identity
+    S0 = m.stress_PK2(jnp.eye(3)[None])[0]
+    np.testing.assert_allclose(np.asarray(S0), 0.0, atol=1e-8)
+
+
+def test_hardening_plastic_radial_return():
+    from sphinxsys_tpu.core.materials import HardeningPlasticSolid
+
+    m = HardeningPlasticSolid(rho0=1.0, youngs_modulus=1.0e3,
+                              poisson_ratio=0.3, yield_stress=5.0,
+                              hardening_modulus=100.0)
+    inv_ps, kappa = m.initial_plastic_state(1, 3)
+    # small shear: stays elastic (no plastic strain, no hardening)
+    gamma_el = 1e-3
+    F_el = jnp.eye(3).at[0, 1].set(gamma_el)[None]
+    be, inv_ps1, k1 = m.elastic_left_cauchy(F_el, inv_ps, kappa)
+    assert float(k1[0]) == 0.0
+    # elastic isochoric shear: inv_ps stays identity (det(be)=1 so the
+    # normalization is a no-op and inv_F nbe inv_F^T = I)
+    np.testing.assert_allclose(np.asarray(inv_ps1[0]), np.eye(3), atol=1e-5)
+    # large shear: yields (hardening grows, deviatoric stress capped near
+    # the flow stress)
+    gamma_pl = 0.2
+    F_pl = jnp.eye(3).at[0, 1].set(gamma_pl)[None]
+    be2, inv_ps2, k2 = m.elastic_left_cauchy(F_pl, inv_ps, kappa)
+    assert float(k2[0]) > 0.0
+    tau = m.kirchhoff_stress(be2, jnp.linalg.det(F_pl))
+    dev_norm = float(jnp.linalg.norm(
+        tau[0] - jnp.trace(tau[0]) / 3 * jnp.eye(3)))
+    flow = math.sqrt(2.0 / 3.0) * (m.yield_stress + m.hardening_modulus * float(k2[0]))
+    np.testing.assert_allclose(dev_norm, flow, rtol=0.05)
+
+
+def test_nonlinear_hardening_saturates():
+    from sphinxsys_tpu.core.materials import NonLinearHardeningPlasticSolid
+
+    m = NonLinearHardeningPlasticSolid(
+        rho0=1.0, youngs_modulus=1.0e3, poisson_ratio=0.3, yield_stress=5.0,
+        hardening_modulus=0.0, saturation_flow_stress=8.0,
+        saturation_exponent=50.0)
+    inv_ps, kappa = m.initial_plastic_state(1, 3)
+    F = jnp.eye(3).at[0, 1].set(0.8)[None]
+    be, inv_ps2, k2 = m.elastic_left_cauchy(F, inv_ps, kappa)
+    assert float(k2[0]) > 0.0
+    tau = m.kirchhoff_stress(be, jnp.linalg.det(F))
+    dev_norm = float(jnp.linalg.norm(
+        tau[0] - jnp.trace(tau[0]) / 3 * jnp.eye(3)))
+    # saturated flow stress bounds the deviatoric stress
+    assert dev_norm < math.sqrt(2.0 / 3.0) * 8.0 * 1.1
