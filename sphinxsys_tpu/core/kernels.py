@@ -367,3 +367,30 @@ class AnisotropicKernel:
         dwdq = self._factor(dim) * self.base._dw(jnp.minimum(q, self.kernel_size))
         coeff = jnp.where(inside, dwdq / jnp.maximum(q, 1e-15), 0.0)
         return coeff[..., None] * (g * gd)
+
+
+# ---------------------------------------------------------------------------
+# Variable-smoothing-length evaluation (adaptive-h bodies).
+# Mirrors Kernel::W(h_ratio, r, ...) = factor_W * W(q h_ratio) * h_ratio^d
+# and dW(h_ratio, ...) * h_ratio^{d+1} (base_kernel.cpp:98-140), with
+# h_ratio = h_ref / h_particle >= 1 for refined particles.
+# ---------------------------------------------------------------------------
+
+def _adaptive_W(kernel, r, h_ratio, dim: int):
+    q = r / kernel.h * h_ratio
+    inside = q < kernel.kernel_size
+    val = kernel._factor_w(dim) * (h_ratio ** dim) * kernel._w(
+        jnp.minimum(q, kernel.kernel_size))
+    return jnp.where(inside, val, 0.0)
+
+
+def _adaptive_dW(kernel, r, h_ratio, dim: int):
+    q = r / kernel.h * h_ratio
+    inside = q < kernel.kernel_size
+    val = (kernel._factor_w(dim) / kernel.h) * (h_ratio ** (dim + 1)) * \
+        kernel._dw(jnp.minimum(q, kernel.kernel_size))
+    return jnp.where(inside, val, 0.0)
+
+
+SmoothingKernel.W_adaptive = _adaptive_W
+SmoothingKernel.dW_adaptive = _adaptive_dW

@@ -454,6 +454,40 @@ def pack_wall_t(wall_b, nbr_wall, c_max_wall: int, tile_c: int = 256,
     return wall_jt, wflags
 
 
+
+
+def _window_jt(packed_j, nbr, c):
+    """(C+1, CAP, CH) + (C, 9) -> (9, CH, CAP, C) window stack in the
+    transposed kernel layout.  The three same-column windows are PURE
+    SHIFTS of the sorted block order (cells sort by cx*GY+cy, so cell
+    cy+-1, when occupied, is exactly the adjacent row): windows 3/4/5
+    ((0,-1)/(0,0)/(0,+1)) use roll/select instead of gathers — 4 of 9
+    window transfers become contiguous copies."""
+    ch = packed_j.shape[-1]
+    base = packed_j[:c].transpose(2, 1, 0)            # (CH, CAP, C)
+    fill = jnp.zeros_like(base)
+    fill = fill.at[:2].set(1.0e16)                    # park positions FAR
+    rolled_m = jnp.concatenate([fill[..., :1], base[..., :-1]], axis=-1)
+    rolled_p = jnp.concatenate([base[..., 1:], fill[..., :1]], axis=-1)
+    # exact adjacency check (cells sort by flattened id; cy+-1 when
+    # occupied is always the adjacent row on NON-PERIODIC grids — periodic
+    # wraps would need the gather, so this helper must not be used there)
+    ar = jnp.arange(nbr.shape[0], dtype=nbr.dtype)
+    valid_m = (nbr[:, 3] == ar - 1)[None, None, :]
+    valid_p = (nbr[:, 5] == ar + 1)[None, None, :]
+    out = []
+    for w in range(9):
+        if w == 4:
+            out.append(base)
+        elif w == 3:
+            out.append(jnp.where(valid_m, rolled_m, fill))
+        elif w == 5:
+            out.append(jnp.where(valid_p, rolled_p, fill))
+        else:
+            out.append(packed_j[nbr[:, w]].transpose(2, 1, 0))
+    return jnp.stack(out, axis=0)
+
+
 def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
                               riemann, dt, tile_c: int = 256,
                               interpret: bool = False):
@@ -471,8 +505,7 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
     c = nbr_inner.shape[0]
 
     packed_j = jnp.concatenate([pos, p[..., None], vol[..., None]], axis=-1)
-    xj_t = jnp.stack(
-        [packed_j[nbr_inner[:, w]].transpose(2, 1, 0) for w in range(9)], 0)
+    xj_t = _window_jt(packed_j, nbr_inner, c)
     acc_prior = fb["ForcePrior"] / jnp.maximum(fb["Mass"], TINY)[..., None]
     xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T, p[:c].T, rho[:c].T,
                       acc_prior[:c, :, 0].T, acc_prior[:c, :, 1].T], 0)
@@ -513,8 +546,7 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
     c = nbr_inner.shape[0]
 
     packed_j = jnp.concatenate([pos, vel, vol[..., None]], axis=-1)
-    xj_t = jnp.stack(
-        [packed_j[nbr_inner[:, w]].transpose(2, 1, 0) for w in range(9)], 0)
+    xj_t = _window_jt(packed_j, nbr_inner, c)
     xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T,
                       vel[:c, :, 0].T, vel[:c, :, 1].T], 0)
 
@@ -555,9 +587,7 @@ def density_summation_p2(fb, nbr_inner, wall_jt, wflags, kernel, rho0: float,
 
     pos, mask = fb["Position"], fb["SlotMask"]
     c = nbr_inner.shape[0]
-    packed_j = pos                                    # (C+1, CAP, 2)
-    xj_t = jnp.stack(
-        [packed_j[nbr_inner[:, w]].transpose(2, 1, 0) for w in range(9)], 0)
+    xj_t = _window_jt(pos, nbr_inner, c)              # positions only
     xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T], 0)
     sig, sigw = pb2.density_sweep_t(xi_t, xj_t, wall_jt, wflags,
                                     inv_h=1.0 / kernel.h,
