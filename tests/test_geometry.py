@@ -68,3 +68,40 @@ def test_lattice_generator_counts():
     expected = round(2.0 / dx) * round(1.0 / dx)
     assert abs(len(pos) - expected) <= 0.02 * expected
     assert pos.min() > 0.0 and pos[:, 0].max() < 2.0
+
+
+def test_surface_lattice_generator_ring():
+    """Surface (shell) lattice generator on a 2D circular ring
+    (ParticleGenerator<SurfaceParticles, Lattice>,
+    particle_generator_lattice_2d.cpp:26-70): the planned count equals
+    shell volume / (spacing^(d-1) * thickness), every particle lies within
+    the thin volume, the volumetric measure is the AREA spacing^(d-1), and
+    normals are radial after one-side orientation."""
+    from sphinxsys_tpu.core.generators import (
+        generate_surface_lattice, consistent_shell_normals)
+
+    R, t, dx = 1.0, 0.05, 0.025
+    ring = G.make_complex(
+        ("add", G.Ball(center=(0.0, 0.0), radius=R + 0.5 * t)),
+        ("sub", G.Ball(center=(0.0, 0.0), radius=R - 0.5 * t)))
+    lo, hi = (-1.2, -1.2), (1.2, 1.2)
+    pos, normals, area = generate_surface_lattice(ring, lo, hi, dx, t)
+
+    assert area == dx  # spacing^(d-1)
+    planned = 2 * np.pi * R * t / (dx * t)  # ~ perimeter / spacing
+    assert abs(len(pos) - planned) < 0.08 * planned
+    r = np.linalg.norm(pos, axis=1)
+    assert r.min() >= R - 0.5 * t - 1e-12 and r.max() <= R + 0.5 * t + 1e-12
+
+    # raw normals are unit and radial (either side of the mid-surface)
+    assert np.allclose(np.linalg.norm(normals, axis=1), 1.0, atol=1e-5)
+    rhat = pos / r[:, None]
+    align = np.sum(normals * rhat, axis=1)
+    assert np.all(np.abs(align) > 0.97)
+    # one-side orientation makes them all point outward
+    n_out = consistent_shell_normals(pos, normals, lambda p: p)
+    assert np.all(np.sum(n_out * rhat, axis=1) > 0.97)
+
+    # determinism: same seed -> identical distribution
+    pos2, _, _ = generate_surface_lattice(ring, lo, hi, dx, t)
+    assert np.array_equal(pos, pos2)
