@@ -84,13 +84,49 @@ def density_summation(fluid: State, nl_inner: NeighborList, kernel, dim: int,
 # Acoustic step, 1st half — pressure relaxation (fluid_integration.hpp:50-113)
 # ---------------------------------------------------------------------------
 
+def kernel_correction_matrix(fluid: State, nl_inner: NeighborList, kernel,
+                             dim: int, wall: State | None = None,
+                             nl_wall: NeighborList | None = None,
+                             alpha: float = 0.0, box=None,
+                             out_key: str = "LinearGradientCorrectionMatrix"
+                             ) -> State:
+    """LinearGradientCorrectionMatrix[Complex] (kernel_correction.h +
+    general_gradient.*): local configuration A = -sum r_ji (dW V_j e)^T over
+    inner (+ wall contact) neighbors, then the determinant-weighted blend
+    B = w1 inv(A) + w2 I with w2 ~ max(alpha - det A, 0) that falls back to
+    identity for deficient supports."""
+    pos, vol = fluid["Position"], fluid["VolumetricMeasure"]
+    pg = pair_geometry(pos, pos, nl_inner, kernel, dim, need_W=False, box=box)
+    vol_j, _ = gather(vol, nl_inner.idx)
+    gradw = (pg.dW * vol_j)[..., None] * pg.e
+    r_ji = pg.r[..., None] * pg.e
+    A = -jnp.sum(r_ji[..., :, None] * gradw[..., None, :], axis=1)
+    if wall is not None:
+        pgw = pair_geometry(pos, wall["Position"], nl_wall, kernel, dim,
+                            need_W=False, box=box)
+        wvol_j, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
+        gradww = (pgw.dW * wvol_j)[..., None] * pgw.e
+        r_jiw = pgw.r[..., None] * pgw.e
+        A = A - jnp.sum(r_jiw[..., :, None] * gradww[..., None, :], axis=1)
+    A = A + 1.0e-6 * jnp.eye(dim, dtype=pos.dtype)
+    det = jnp.linalg.det(A)
+    det_sqr = jnp.maximum(alpha - det, 0.0)
+    w1 = det / (det + det_sqr + TINY)
+    w2 = det_sqr / (det + det_sqr + TINY)
+    out = dict(fluid)
+    out[out_key] = (w1[:, None, None] * jnp.linalg.inv(A)
+                    + w2[:, None, None] * jnp.eye(dim, dtype=pos.dtype))
+    return out
+
+
 def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: int,
                            eos, riemann, dt,
                            wall: State | None = None,
                            nl_wall: NeighborList | None = None,
                            wall_riemann=None, box=None,
                            walls: Sequence[tuple] = (),
-                           contacts: Sequence[tuple] = ()) -> State:
+                           contacts: Sequence[tuple] = (),
+                           correction: bool = False) -> State:
     """`walls`: additional wall-type contacts as (state, neighbor_list)
     pairs (e.g. rigid wall + elastic insert in fsi2.cpp:135-137); the
     single wall/nl_wall pair is kept for convenience.
@@ -98,7 +134,12 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
     `contacts`: fluid-fluid (multi-phase) contacts as (other_state,
     neighbor_list, cross_riemann) triples — the Integration1stHalf
     <Contact<>> terms (fluid_integration.hpp:116-157): impedance-weighted
-    interface pressure and cross-phase density dissipation."""
+    interface pressure and cross-phase density dissipation.
+
+    `correction`: use the reverse-kernel-gradient-corrected pressure force
+    -(p_i B_j + p_j B_i) dW V_j e_ij (Integration1stHalfCorrection...,
+    fluid_integration.hpp:75 with LinearGradientCorrection) reading
+    fluid["LinearGradientCorrectionMatrix"]."""
     out = dict(fluid)
     # --- initialization -----------------------------------------------
     rho = fluid["Density"] + fluid["DensityChangeRate"] * (0.5 * dt)
@@ -111,7 +152,15 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
     p_j, _ = gather(p, nl_inner.idx)
     vol_j, _ = gather(vol, nl_inner.idx)
     dWV = pg.dW * vol_j
-    force = -jnp.sum((p[:, None] + p_j)[..., None] * dWV[..., None] * pg.e, axis=1)
+    if correction:
+        B = fluid["LinearGradientCorrectionMatrix"]
+        B_j, _ = gather(B, nl_inner.idx)
+        Be_i = jnp.einsum("nab,nkb->nka", B, pg.e)
+        Be_j = jnp.einsum("nkab,nkb->nka", B_j, pg.e)
+        force = -jnp.sum((p[:, None, None] * Be_j + p_j[..., None] * Be_i)
+                         * dWV[..., None], axis=1)
+    else:
+        force = -jnp.sum((p[:, None] + p_j)[..., None] * dWV[..., None] * pg.e, axis=1)
     rho_dissipation = jnp.sum(riemann.dissipative_u_jump(p[:, None] - p_j) * dWV, axis=1)
 
     drho_dt = rho_dissipation * rho
@@ -132,7 +181,13 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
         # pressure reconstructed in the wall from the hydrostatic projection
         face_acc = jnp.sum((acc_prior[:, None, :] - wall_acc_ave) * (-pgw.e), axis=-1)
         p_in_wall = p[:, None] + rho[:, None] * pgw.r * jnp.maximum(face_acc, 0.0)
-        force_w = -jnp.sum((p[:, None] + p_in_wall)[..., None] * dWV_w[..., None] * pgw.e, axis=1)
+        if correction:
+            Be_iw = jnp.einsum("nab,nkb->nka",
+                               fluid["LinearGradientCorrectionMatrix"], pgw.e)
+            force_w = -jnp.sum((p[:, None] + p_in_wall)[..., None]
+                               * dWV_w[..., None] * Be_iw, axis=1)
+        else:
+            force_w = -jnp.sum((p[:, None] + p_in_wall)[..., None] * dWV_w[..., None] * pgw.e, axis=1)
         rho_diss_w = jnp.sum(wr.dissipative_u_jump(p[:, None] - p_in_wall) * dWV_w, axis=1)
         force_total = force_total + force_w * vol[:, None]
         drho_dt = drho_dt + rho_diss_w * rho

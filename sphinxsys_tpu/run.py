@@ -107,6 +107,9 @@ CASES = {
     "fish_fsi_2d": _run_single_fluid(
         "fish_fsi_2d",
         lambda c, s: {"WaterBody": s.fluid, "FishBody": s.fish}, t_end=1.7),
+    "turbulent_channel_2d": _run_single_fluid(
+        "turbulent_channel_2d",
+        lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=100.0),
     "dambreak_2d_block": _run_single_fluid(
         "dambreak_2d_block",
         lambda c, s: {"WaterBody": __import__(

@@ -1,0 +1,146 @@
+"""k-epsilon RANS turbulence (physics/turbulence.py) vs the reference's
+k-epsilon_turbulent_model.{h,cpp} semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphinxsys_tpu.physics import turbulence as tb
+
+
+def test_wall_law_scalars():
+    """Laminar law u* = y* below 11.225; log law u* = ln(E y*)/kappa above
+    (WallFunction, k-epsilon_turbulent_model.cpp:27-57)."""
+    cl = tb.TurbuClosure()
+    y = jnp.asarray([5.0, 11.0, 30.0, 100.0])
+    u = tb.dimensionless_velocity(y, 1.0, cl)
+    assert float(u[0]) == pytest.approx(5.0)
+    assert float(u[1]) == pytest.approx(11.0)
+    assert float(u[2]) == pytest.approx(np.log(9.8 * 30.0) / 0.41, rel=1e-5)
+    # before start_time_laminar the log law applies everywhere
+    u0 = tb.dimensionless_velocity(jnp.asarray([5.0]), -1.0,
+                                   tb.TurbuClosure(start_time_laminar=0.5))
+    assert float(u0[0]) == pytest.approx(np.log(9.8 * 5.0) / 0.41, rel=1e-5)
+
+
+def test_eddy_viscosity_formula():
+    """mu_t = rho C_mu k^2 / eps (TurbulentEddyViscosity, cpp:487)."""
+    fluid = {"Density": jnp.asarray([2.0]),
+             "TurbulenceKineticEnergy": jnp.asarray([0.3]),
+             "TurbulentDissipation": jnp.asarray([0.05])}
+    out = tb.eddy_viscosity_update(fluid)
+    assert float(out["TurbulentViscosity"][0]) == pytest.approx(
+        2.0 * 0.09 * 0.09 / 0.05, rel=1e-6)
+
+
+def test_inflow_turbulent_values():
+    """k_in = 1.5 (I u)^2, eps_in = C_mu^0.75 k^1.5 / (0.07 L)
+    (InflowTurbulentCondition, cpp:521-558)."""
+    k, e = tb.turbulent_inflow_values(1.0, 2.0)
+    assert k == pytest.approx(1.5 * 0.05 ** 2, rel=1e-6)
+    assert e == pytest.approx(0.09 ** 0.75 * k ** 1.5 / (0.07 * 2.0), rel=1e-6)
+
+
+def _channel(t_end=1.0, **kw):
+    from sphinxsys_tpu.cases import turbulent_channel_2d as tc
+
+    case, fluid = tc.build_case(**kw)
+    s = tc.init_sim(case, fluid)
+    run = tc.make_run_chunk(case)
+    s = run(s, jnp.asarray(t_end, s.time.dtype))
+    return tc, case, s
+
+
+def test_near_wall_status_geometry():
+    """JudgeIsNearWall: exactly the first particle row off each wall is P1
+    (interface distance y_p = 0.05 < dx), every particle within the kernel
+    support of the wall is P2 (cpp:598-724)."""
+    tc, case, s = _channel(t_end=0.05)
+    f = s.fluid
+    y = np.asarray(f["Position"][:, 1])
+    p1 = np.asarray(f["IsNearWallP1"])
+    p2 = np.asarray(f["IsNearWallP2"])
+    dist = np.asarray(f["DistanceToDummyInterface"])
+    first_row = (y < case.dx) | (y > tc.DH - case.dx)
+    assert (p1[first_row] == 1).all()
+    assert (p1[~first_row] == 0).all()
+    # P2 region: within the 2.6 dx support radius of the wall band
+    support = (y < 2.6 * 1.3 * case.dx) | (y > tc.DH - 2.6 * 1.3 * case.dx)
+    assert (p2[~support] == 0).all()
+    assert (p2[first_row] == 10).all()
+    # the interface distance of the first row is y_p = 0.05 (median: a few
+    # particles have already shifted slightly by transport-velocity
+    # correction after a few steps)
+    assert abs(np.median(dist[first_row]) - tc.Y_P) < 0.01
+    # normals point into the fluid
+    en = np.asarray(f["WallNearestNormal"])
+    bot = first_row & (y < 1.0)
+    assert (en[bot, 1] > 0.99).all()
+
+
+def test_channel_develops_turbulent_profile():
+    """Impulsive uniform start: k and eps grow near the wall, the eddy
+    viscosity exceeds the molecular one, the near-wall velocity lags the
+    center (a developing turbulent profile), everything finite."""
+    tc, case, s = _channel(t_end=6.0)
+    f = s.fluid
+    assert not bool(s.overflow)
+    k = np.asarray(f["TurbulenceKineticEnergy"])
+    eps = np.asarray(f["TurbulentDissipation"])
+    mut = np.asarray(f["TurbulentViscosity"])
+    assert np.isfinite(k).all() and (k > 0).all()
+    assert np.isfinite(eps).all() and (eps > 0).all()
+    assert mut.max() > 2.0 * tc.MU_F  # turbulence switched on
+    y, prof = tc.mean_profile(case, s)
+    mid = prof[len(prof) // 2]
+    assert 0.5 * (prof[0] + prof[-1]) < 0.9 * mid  # near-wall deficit
+    # profile roughly symmetric
+    assert abs(prof[0] - prof[-1]) < 0.3 * mid
+    # wall-law outputs populated on the near-wall ring
+    p1 = np.asarray(f["IsNearWallP1"]) == 1
+    assert np.asarray(f["WallYstar"])[p1].min() > 1.0
+    fric = np.linalg.norm(np.asarray(f["FrictionVelocity"])[p1], axis=1)
+    assert fric.min() > 0.0
+    # the friction velocity is in the ballpark of the analytic steady-state
+    # balance u_tau = sqrt(G_X * DH/2) (within 50% during development)
+    utau_target = (tc.G_X * tc.DH / 2.0) ** 0.5
+    assert abs(fric.mean() - utau_target) < 0.5 * utau_target
+
+
+def test_k_epsilon_homogeneous_decay():
+    """Without production (zero velocity gradient), the STL update gives
+    the homogeneous decay dk/dt = -eps, deps/dt = -C2 eps^2/k; over one
+    step k shrinks and the decay ratio matches the implicit update
+    (K/E_TurbulentModelInner::update, cpp:225-237 + 286-302)."""
+    n, dim = 8, 2
+    k0, e0 = 0.01, 0.002
+    pos = jnp.zeros((n, dim))
+    fluid = {"Position": pos, "VolumetricMeasure": jnp.ones((n,)),
+             "Density": jnp.ones((n,)),
+             "Velocity": jnp.zeros((n, dim)), "NReal": jnp.asarray(n)}
+    fluid = tb.register_turbulence_fields(fluid, dim, k0, e0, 1e-9, 0.05)
+
+    from sphinxsys_tpu.neighbors.neighbor_list import NeighborList
+    empty = NeighborList(idx=jnp.full((n, 1), n, jnp.int32),
+                         count=jnp.zeros((n,), jnp.int32),
+                         overflow=jnp.zeros((), bool))
+
+    class K:  # kernel stub (no neighbors -> never evaluated meaningfully)
+        @staticmethod
+        def W(r, dim):
+            return jnp.zeros_like(r)
+
+        @staticmethod
+        def dW(r, dim):
+            return jnp.zeros_like(r)
+
+    dt = 0.1
+    out = tb.k_equation(fluid, empty, K, dim, 1e-4, 0.13, dt)
+    out = tb.epsilon_equation(out, empty, K, dim, 1e-4, 0.13, dt)
+    k1 = float(out["TurbulenceKineticEnergy"][0])
+    e1 = float(out["TurbulentDissipation"][0])
+    assert k1 == pytest.approx(k0 / (1.0 + e0 * dt / k0), rel=1e-5)
+    # the epsilon update reads the ALREADY-updated k (the reference execs
+    # k_equation_relaxation before epsilon_equation_relaxation)
+    assert e1 == pytest.approx(e0 / (1.0 + 1.92 * e0 * dt / k1), rel=1e-5)
