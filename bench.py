@@ -72,11 +72,39 @@ def main() -> None:
     n_adv = int(sim.n_adv) - n_adv0
     n_ac = int(sim.n_ac) - n_ac0
     if engine in ("block", "pallas"):
-        # count true pairs with the reference neighbor engine
+        # count true pairs with the reference neighbor engine; CHUNKED over
+        # query particles — the full (N, K, d) gather at production N would
+        # not fit HBM (the sim itself does)
+        from sphinxsys_tpu.neighbors import build_cell_table, build_neighbor_list
+
         parts = dbb.blocks_to_particles(case, sim, n_fluid)
-        nl_inner, nl_wall = jax.jit(
-            lambda f: db.rebuild_relations(case.base, f))(parts)
-        pairs = int(jnp.sum(nl_inner.count)) + int(jnp.sum(nl_wall.count))
+        base = case.base
+        cutoff = base.adaptation.cutoff
+        pos = parts["Position"]
+        table = jax.jit(lambda p: build_cell_table(
+            p, jnp.asarray(n_fluid), base.grid, cap=base.cell_cap))(pos)
+
+        @jax.jit
+        def chunk_counts(pos_q, n_q):
+            nli = build_neighbor_list(pos_q, n_q, pos, jnp.asarray(n_fluid),
+                                      table, base.grid, cutoff,
+                                      k_max=base.k_inner, include_self=False)
+            nlw = build_neighbor_list(pos_q, n_q, base.wall["Position"],
+                                      base.wall["NReal"], base.wall_table,
+                                      base.grid, cutoff, k_max=base.k_wall,
+                                      include_self=True)
+            return jnp.sum(nli.count) + jnp.sum(nlw.count)
+
+        chunk = 32768
+        n_pad = ((n_fluid + chunk - 1) // chunk) * chunk
+        pos_padded = jnp.concatenate(
+            [pos[:n_fluid], jnp.full((n_pad - n_fluid, pos.shape[1]), 1.0e9,
+                                     pos.dtype)], axis=0)
+        pairs = 0
+        for start in range(0, n_pad, chunk):
+            pos_q = pos_padded[start:start + chunk]
+            n_q = jnp.asarray(max(0, min(chunk, n_fluid - start)), jnp.int32)
+            pairs += int(chunk_counts(pos_q, n_q))
     else:
         pairs = int(jnp.sum(sim.nl_inner.count)) + int(jnp.sum(sim.nl_wall.count))
     # 2 pair sweeps per acoustic step + 1 density-summation sweep per advection step

@@ -107,6 +107,11 @@ CASES = {
     "fish_fsi_2d": _run_single_fluid(
         "fish_fsi_2d",
         lambda c, s: {"WaterBody": s.fluid, "FishBody": s.fish}, t_end=1.7),
+    "fvm_cylinder_2d": _run_single_fluid(
+        "fvm_cylinder_2d",
+        lambda c, s: {"FluidCells": __import__(
+            "sphinxsys_tpu.cases.fvm_cylinder_2d",
+            fromlist=["cells_as_body"]).cells_as_body(c, s)}, t_end=200.0),
     "turbulent_channel_2d": _run_single_fluid(
         "turbulent_channel_2d",
         lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=100.0),

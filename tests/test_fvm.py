@@ -1,0 +1,150 @@
+"""FVM front end: Fluent .msh parsing, mesh compilation geometry, and the
+face-based Eulerian WCSPH solver (fvm/ package) vs the reference's
+unstructured_mesh.{h,cpp} + FVM_flow_around_cylinder_2d_def.h."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphinxsys_tpu.fvm import (compile_mesh, cylinder_ogrid, read_fluent_msh,
+                               write_fluent_msh)
+from sphinxsys_tpu.fvm import dynamics as fv
+from sphinxsys_tpu.fvm.mesh import RawMesh
+
+# a hand-written 2x1 quad mesh: 6 nodes, 2 unit cells, 7 faces
+#   3--4--5
+#   |  |  |
+#   0--1--2
+TINY_MSH = """(0 "hand-written fixture")
+(2 2)
+(10 (0 1 6 0 2))
+(10 (1 1 6 1 2)(
+0 0
+1 0
+2 0
+0 1
+1 1
+2 1
+))
+(12 (0 1 2 0))
+(13 (0 1 7 0))
+(13 (4 1 1 2 2)(
+2 5 1 2
+))
+(13 (5 2 7 3 2)(
+1 2 1 0
+2 3 2 0
+3 6 2 0
+6 5 2 0
+5 4 1 0
+4 1 1 0
+))
+(0 "Zone Sections")
+"""
+
+
+def test_parser_hand_written_fixture():
+    """Node/face/cell extraction against a mesh small enough to verify by
+    hand (format per unstructured_mesh_2d.cpp:9-93)."""
+    path = os.path.join(tempfile.mkdtemp(), "tiny.msh")
+    with open(path, "w") as f:
+        f.write(TINY_MSH)
+    raw = read_fluent_msh(path)
+    assert raw.dim == 2
+    assert raw.nodes.shape == (6, 2)
+    assert len(raw.face_nodes) == 7
+    # the single interior face joins cells 0 and 1 through nodes 1-4
+    interior = raw.face_btype == 2
+    assert interior.sum() == 1
+    f0 = np.nonzero(interior)[0][0]
+    assert sorted(raw.face_nodes[f0].tolist()) == [1, 4]
+    assert sorted(raw.face_cells[f0].tolist()) == [0, 1]
+    # boundary faces carry bc-type 3 and one -1 cell
+    assert (raw.face_cells[raw.face_btype == 3].min(axis=1) == -1).all()
+
+    mesh = compile_mesh(raw)
+    assert mesh.n_cells == 2
+    assert np.allclose(mesh.volumes, 1.0)
+    assert np.allclose(sorted(mesh.centroids[:, 0].tolist()), [0.5, 1.5])
+    assert np.allclose(mesh.centroids[:, 1], 0.5)
+    # interior face: r_eff = center-to-center distance = 1
+    assert mesh.r_eff[np.nonzero(mesh.neigh >= 0)[0][0]] == pytest.approx(1.0)
+    # boundary face: twice the center-to-face distance = 1
+    b = np.nonzero(mesh.neigh < 0)[0][0]
+    assert mesh.r_eff[b] == pytest.approx(1.0)
+
+
+def test_ogrid_roundtrip_and_geometry():
+    """Writer -> parser -> compile: exact node roundtrip, annulus volume,
+    outward normals, full 4-face incidence."""
+    raw = cylinder_ogrid(r0=1.0, r1=10.0, nr=12, nt=24)
+    path = os.path.join(tempfile.mkdtemp(), "cyl.msh")
+    write_fluent_msh(path, raw)
+    raw2 = read_fluent_msh(path)
+    assert np.allclose(raw.nodes, raw2.nodes)
+    assert len(raw2.face_nodes) == len(raw.face_nodes)
+
+    mesh = compile_mesh(raw2)
+    exact = np.pi * (10.0 ** 2 - 1.0 ** 2)
+    assert mesh.volumes.sum() == pytest.approx(exact, rel=0.02)
+    assert (mesh.volumes > 0).all()
+    assert mesh.cell_faces.shape[1] == 4
+    # every wall face normal points INTO the cylinder (outward of the owner
+    # cell, which lies outside radius 1)
+    wall = mesh.btype == 3
+    rad = mesh.midpoint[wall] / np.linalg.norm(
+        mesh.midpoint[wall], axis=1, keepdims=True)
+    assert (np.sum(mesh.normal[wall] * rad, axis=1) < -0.9).all()
+    # incidence closes: signed face-area vectors of each cell sum to zero
+    av = mesh.normal * mesh.area[:, None]
+    closure = (av[mesh.cell_faces] * mesh.cell_sign[..., None]).sum(axis=1)
+    assert np.abs(closure).max() < 1e-9
+
+
+def _mini_sim(nr=10, nt=20, r_far=8.0):
+    from sphinxsys_tpu.cases import fvm_cylinder_2d as fc
+
+    case, fluid = fc.build_case(nr=nr, nt=nt, r_far=r_far)
+    return fc, case, fc.init_sim(case, fluid)
+
+
+def test_uniform_flow_conservation():
+    """A step on uniform freestream: mass exactly conserved, and cells away
+    from the cylinder stay exactly at the freestream state (flux balance)."""
+    fc, case, s = _mini_sim()
+    run = fc.make_run_chunk(case)
+    m0 = float(jnp.sum(s.fluid["Density"] * case.dm.volumes))
+    s1 = run(s, jnp.asarray(0.05, s.time.dtype))
+    m1 = float(jnp.sum(s1.fluid["Density"] * case.dm.volumes))
+    assert m1 == pytest.approx(m0, rel=1e-6)
+    r_c = np.linalg.norm(case.mesh.centroids, axis=1)
+    dv = np.abs(np.asarray(s1.fluid["Velocity"]) - np.asarray([1.0, 0.0]))
+    assert dv[r_c > 5.0].max() < 1e-4
+
+
+def test_cylinder_drag_develops():
+    """Re=100 flow around the cylinder: stable, wake forms (velocity
+    deficit behind, speed-up at the sides), positive O(1) drag from the
+    pressure+viscous force reduction (2d_FVM_flow_around_cylinder.cpp:131
+    regression quantity)."""
+    fc, case, s = _mini_sim(nr=16, nt=32, r_far=10.0)
+    run = fc.make_run_chunk(case)
+    s = run(s, jnp.asarray(20.0, s.time.dtype))
+    v = np.asarray(s.fluid["Velocity"])
+    rho = np.asarray(s.fluid["Density"])
+    assert np.isfinite(v).all() and np.isfinite(rho).all()
+    assert np.abs(rho - 1.0).max() < 0.1  # weakly compressible
+    c = case.mesh.centroids
+    behind = (np.abs(c[:, 1]) < 1.0) & (c[:, 0] > 1.5) & (c[:, 0] < 4.0)
+    side = (np.abs(c[:, 0]) < 1.0) & (np.abs(c[:, 1]) > 1.2) & (np.abs(c[:, 1]) < 3.0)
+    assert v[behind, 0].mean() < 0.75      # wake deficit
+    assert np.linalg.norm(v[side], axis=1).mean() > 1.0   # side speed-up
+    cd = fc.drag_coefficient(case, s)
+    # coarse mini-mesh with strong blockage (r_far = 10R): the early-time
+    # drag overshoots the literature Cd ~ 1.35; the production O-grid
+    # settles to mean Cd ~ 1.6 with Cl shedding (run log in PROGRESS.md)
+    assert 0.5 < cd < 6.0
