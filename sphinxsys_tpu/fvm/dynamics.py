@@ -203,3 +203,91 @@ def force_on_boundary(state, dm: DeviceMesh, riemann, far: FarField,
     shear = mu * (vel_l - vel_r) / dm.r_eff[:, None] * dm.area[:, None]
     f_visc = jnp.sum(sel[:, None] * shear, axis=0)
     return f_press, f_visc
+
+
+# ---------------------------------------------------------------------------
+# Compressible (ideal-gas) HLLC path — counterpart of the reference's
+# EulerianCompressibleIntegration1st/2ndHalfHLLCWithLimiterRiemann stack as
+# used by test_2d_eulerian_supersonic_flow_new_BC (Mach-2 cylinder) and the
+# FVM double-mach-reflection case.
+# ---------------------------------------------------------------------------
+
+def make_compressible_fvm_state(dm: DeviceMesh, gas, rho0: float, vel0,
+                                p0: float, dtype=jnp.float32):
+    C = dm.n_cells
+    dim = dm.normal.shape[1]
+    vel = jnp.broadcast_to(jnp.asarray(vel0, dtype), (C, dim)) + 0.0
+    rho = jnp.full((C,), rho0, dtype)
+    p = jnp.full((C,), p0, dtype)
+    E = p / (gas.gamma - 1.0) + 0.5 * rho * jnp.sum(vel ** 2, -1)
+    return {"Density": rho, "Velocity": vel, "Pressure": p,
+            "TotalEnergyDensity": E}
+
+
+def compressible_face_states(state, dm: DeviceMesh, far: FarField, gas):
+    """Ghost BCs of the supersonic stack
+    (2d_eulerian_supersonic_flow_around_cylinder.h:80-160):
+      wall (3): REFLECTIVE slip — mirror the normal velocity component;
+      far field (9): supersonic characteristic switch — faces where the
+        freestream enters (v_far . n_out < 0) impose the freestream state,
+        faces where the flow leaves copy the owner (zero gradient).
+    """
+    rho, vel, p = state["Density"], state["Velocity"], state["Pressure"]
+    E = state["TotalEnergyDensity"]
+    l = (rho[dm.owner], vel[dm.owner], p[dm.owner], E[dm.owner])
+    rho_r, vel_r, p_r, E_r = rho[dm.neigh], vel[dm.neigh], p[dm.neigh], E[dm.neigh]
+
+    bt = dm.btype
+    wall = ~dm.interior & ((bt == 3) | (bt == 7))
+    farf = ~dm.interior & ((bt == 9) | (bt == 5))
+
+    vn = jnp.sum(l[1] * dm.normal, axis=-1, keepdims=True)
+    vel_r = jnp.where(wall[:, None], l[1] - 2.0 * vn * dm.normal, vel_r)
+    rho_r = jnp.where(wall, l[0], rho_r)
+    p_r = jnp.where(wall, l[2], p_r)
+    E_r = jnp.where(wall, l[3], E_r)
+
+    v_far = jnp.asarray(far.vel, vel.dtype)
+    inflow = farf & (jnp.sum(v_far * dm.normal, axis=-1) < 0.0)
+    E_far = far.p / (gas.gamma - 1.0) + 0.5 * far.rho * jnp.sum(v_far ** 2)
+    vel_r = jnp.where(inflow[:, None], v_far[None, :], vel_r)
+    rho_r = jnp.where(inflow, far.rho, rho_r)
+    p_r = jnp.where(inflow, far.p, p_r)
+    E_r = jnp.where(inflow, E_far, E_r)
+    return l, (rho_r, vel_r, p_r, E_r)
+
+
+def compressible_time_step_fvm(state, gas, dm: DeviceMesh, cfl: float = 0.3):
+    c = gas.sound_speed(state["Pressure"], state["Density"])
+    speed = jnp.linalg.norm(state["Velocity"], axis=-1)
+    return cfl * dm.min_edge / (jnp.max(c + speed) + TINY)
+
+
+def compressible_step(state, dm: DeviceMesh, gas, far: FarField, dt):
+    """One conservative ideal-gas step with HLLC star-state face fluxes:
+      F_mass = rho* vn* A,  F_mom = (rho* v* vn* + p* n) A,
+      F_E    = (E* + p*) vn* A."""
+    from sphinxsys_tpu.physics.eulerian import hllc_interface_state
+
+    (rho_l, vel_l, p_l, E_l), (rho_r, vel_r, p_r, E_r) = \
+        compressible_face_states(state, dm, far, gas)
+    rho_s, vel_s, p_s, E_s = hllc_interface_state(
+        gas, rho_l, vel_l, p_l, E_l, rho_r, vel_r, p_r, E_r, -dm.normal)
+    vn = jnp.sum(vel_s * dm.normal, axis=-1)
+    f_mass = rho_s * vn * dm.area
+    f_mom = ((rho_s * vn)[:, None] * vel_s + p_s[:, None] * dm.normal) \
+        * dm.area[:, None]
+    f_E = (E_s + p_s) * vn * dm.area
+
+    inv_v = 1.0 / dm.volumes
+    rho = state["Density"] - dt * inv_v * _cell_reduce(dm, f_mass)
+    mom = (state["Density"][:, None] * state["Velocity"]
+           - dt * inv_v[:, None] * _cell_reduce(dm, f_mom))
+    E = state["TotalEnergyDensity"] - dt * inv_v * _cell_reduce(dm, f_E)
+
+    rho = jnp.maximum(rho, 1e-8)
+    vel = mom / rho[:, None]
+    e_int = jnp.maximum(E - 0.5 * rho * jnp.sum(vel ** 2, -1), 1e-10)
+    p = (gas.gamma - 1.0) * e_int
+    return {"Density": rho, "Velocity": vel, "Pressure": p,
+            "TotalEnergyDensity": E}

@@ -112,6 +112,11 @@ CASES = {
         lambda c, s: {"FluidCells": __import__(
             "sphinxsys_tpu.cases.fvm_cylinder_2d",
             fromlist=["cells_as_body"]).cells_as_body(c, s)}, t_end=200.0),
+    "supersonic_cylinder_2d": _run_single_fluid(
+        "supersonic_cylinder_2d",
+        lambda c, s: {"GasCells": __import__(
+            "sphinxsys_tpu.cases.supersonic_cylinder_2d",
+            fromlist=["cells_as_body"]).cells_as_body(c, s)}, t_end=40.0),
     "turbulent_channel_2d": _run_single_fluid(
         "turbulent_channel_2d",
         lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=100.0),

@@ -148,3 +148,37 @@ def test_cylinder_drag_develops():
     # drag overshoots the literature Cd ~ 1.35; the production O-grid
     # settles to mean Cd ~ 1.6 with Cl shedding (run log in PROGRESS.md)
     assert 0.5 < cd < 6.0
+
+
+def test_supersonic_cylinder_bow_shock():
+    """Mach-2 cylinder (2d_eulerian_supersonic_flow_around_cylinder.h):
+    a steady bow shock forms — freestream preserved far upstream, the
+    nose stagnation density matches normal-shock + isentropic compression
+    (rho_stag ~ 3.1 rho_inf at M = 2, gamma = 1.4), and the shock sits a
+    fraction of a radius upstream."""
+    from sphinxsys_tpu.cases import supersonic_cylinder_2d as sc
+
+    case, fluid = sc.build_case(nr=28, nt=72)
+    s = sc.init_sim(case, fluid)
+    run = sc.make_run_chunk(case)
+    s = run(s, jnp.asarray(15.0, s.time.dtype))
+
+    rho = np.asarray(s.fluid["Density"])
+    p = np.asarray(s.fluid["Pressure"])
+    assert np.isfinite(rho).all() and (rho > 0).all() and (p > 0).all()
+
+    nose_rho, nose_p = sc.stagnation_state(case, s)
+    assert nose_rho == pytest.approx(3.1, rel=0.12)
+    # stagnation pressure: p2 * isentropic factor ~ 5.64 * p_inf
+    assert nose_p == pytest.approx(5.64 * sc.P_FAR, rel=0.15)
+
+    c = case.mesh.centroids
+    upstream = (np.abs(c[:, 1]) < 0.3) & (c[:, 0] < -4.0) & (c[:, 0] > -8.0)
+    assert np.abs(rho[upstream] - 1.0).max() < 0.05   # pre-shock freestream
+    # shock crossing on the stagnation line within [-2.5, -1.1]
+    line = (np.abs(c[:, 1]) < 0.15) & (c[:, 0] < -1.0)
+    xs, rr = c[line, 0], rho[line]
+    order = np.argsort(xs)
+    xs, rr = xs[order], rr[order]
+    crossing = xs[np.nonzero(rr > 1.8)[0][0]]
+    assert -2.5 < crossing < -1.1
