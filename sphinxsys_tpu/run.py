@@ -96,6 +96,8 @@ CASES = {
         "oscillating_beam_2d", lambda c, s: {"BeamBody": s.solid}, t_end=1.0),
     "shell_cantilever_2d": _run_single_fluid(
         "shell_cantilever_2d", lambda c, s: {"Shell": s.shell}, t_end=1.0),
+    "slender_beam_3d": _run_single_fluid(
+        "slender_beam_3d", lambda c, s: {"BarBody": s.bar}, t_end=0.8),
     "shell_plate_3d": _run_single_fluid(
         "shell_plate_3d", lambda c, s: {"Plate": s.shell}, t_end=0.02),
     "dambreak_3d": _run_single_fluid(

@@ -131,3 +131,23 @@ def test_bar_cantilever_first_frequency():
         f"f_measured={f_measured:.3f} vs beam theory {f1:.3f}"
     # amplitude bounded (restoring, not exploding)
     assert np.abs(tips).max() < 0.05 * L
+
+
+def test_slender_beam_udl_reference_deflection():
+    """Full dynamic case (cases/slender_beam_3d.py = test_3d_slender_beam.
+    cpp): simply-supported bar under the ramped distributed load, pairwise
+    damping, run to end_time 0.8; final mid-span displacement within the
+    reference's own 10% gate of displ_max_reference = 1.8687."""
+    import jax.numpy as jnp
+
+    from sphinxsys_tpu.cases import slender_beam_3d as sb
+
+    case, s = sb.build_case()
+    run = sb.make_run_chunk(case)
+    s = run(s, jnp.asarray(0.8, s.time.dtype))
+    d = sb.midspan_displacement(case, s)
+    assert abs(d - sb.DISPL_MAX_REFERENCE) < 0.1 * sb.DISPL_MAX_REFERENCE
+    # simply supported: the end regions stay on the axis
+    import numpy as np
+    dz_ends = np.asarray(s.bar["Position"][:, 2])[np.asarray(case.end_mask)]
+    assert np.abs(dz_ends).max() < 0.05
