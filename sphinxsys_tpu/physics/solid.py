@@ -51,6 +51,28 @@ def freeze_reference_pairs(pos0, nl: NeighborList, kernel, dim: int) -> Referenc
     return ReferencePairs(idx=nl.idx, W=pg.W, dW=pg.dW, r=pg.r, e=pg.e, mask=pg.mask)
 
 
+def freeze_adaptive_reference_pairs(pos0, h_ratio, nl: NeighborList,
+                                    kernel, dim: int) -> ReferencePairs:
+    """Adaptive-h variant of freeze_reference_pairs for multi-resolution
+    solids (the reference's ParticleWithLocalRefinement /
+    AdaptiveWithinShape bodies, test_2d_mr_cantilever_beam.cpp:190): each
+    frozen pair is evaluated at the pair smoothing length max(h_i, h_j)
+    (= min of the h-ratios), and W is pre-normalized by that pair's W(0)
+    so integration_1st_half_pk2's damping weight runs with w0 = 1."""
+    pos_j, mask = gather(pos0, nl.idx)
+    hr_j, _ = gather(h_ratio, nl.idx)
+    hr_pair = jnp.minimum(h_ratio[:, None], hr_j)   # pair h = max(h_i, h_j)
+    disp = pos0[:, None, :] - pos_j
+    r = jnp.sqrt(jnp.sum(disp * disp, axis=-1) + TINY)
+    e = disp / (r[..., None] + TINY)
+    fmask = mask.astype(pos0.dtype)
+    W = kernel.W_adaptive(r, hr_pair, dim) * fmask
+    dW = kernel.dW_adaptive(r, hr_pair, dim) * fmask
+    w0_pair = kernel._factor_w(dim) * (hr_pair ** dim) * kernel._w(jnp.zeros(()))
+    return ReferencePairs(idx=nl.idx, W=W / w0_pair, dW=dW, r=r, e=e,
+                          mask=mask)
+
+
 def linear_gradient_correction_matrix(rp: ReferencePairs, vol, alpha: float = 0.0,
                                       eps: float = 1.0e-8):
     """B matrix (kernel_correction.cpp LinearGradientCorrectionMatrix):

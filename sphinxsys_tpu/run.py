@@ -92,6 +92,9 @@ CASES = {
         "fsi2",
         lambda c, s: {"WaterBody": s.fluid, "InsertedBody": s.solid,
                       "Wall": c.wall}, t_end=20.0),
+    "mr_cantilever_beam_2d": _run_single_fluid(
+        "mr_cantilever_beam_2d", lambda c, s: {"BeamBody": s.solid},
+        t_end=1.0),
     "oscillating_beam_2d": _run_single_fluid(
         "oscillating_beam_2d", lambda c, s: {"BeamBody": s.solid}, t_end=1.0),
     "shell_cantilever_2d": _run_single_fluid(
@@ -114,6 +117,9 @@ CASES = {
         lambda c, s: {"FluidCells": __import__(
             "sphinxsys_tpu.cases.fvm_cylinder_2d",
             fromlist=["cells_as_body"]).cells_as_body(c, s)}, t_end=200.0),
+    "channel_windkessel_2d": _run_single_fluid(
+        "channel_windkessel_2d",
+        lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=5.0),
     "supersonic_cylinder_2d": _run_single_fluid(
         "supersonic_cylinder_2d",
         lambda c, s: {"GasCells": __import__(
