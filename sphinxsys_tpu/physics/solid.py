@@ -68,9 +68,10 @@ def freeze_adaptive_reference_pairs(pos0, h_ratio, nl: NeighborList,
     fmask = mask.astype(pos0.dtype)
     W = kernel.W_adaptive(r, hr_pair, dim) * fmask
     dW = kernel.dW_adaptive(r, hr_pair, dim) * fmask
-    w0_pair = kernel._factor_w(dim) * (hr_pair ** dim) * kernel._w(jnp.zeros(()))
-    return ReferencePairs(idx=nl.idx, W=W / w0_pair, dW=dW, r=r, e=e,
-                          mask=mask)
+    w0_pair = (kernel._factor_w(dim) * (hr_pair ** dim)
+               * kernel._w(jnp.zeros((), pos0.dtype))).astype(W.dtype)
+    return ReferencePairs(idx=nl.idx, W=(W / w0_pair).astype(W.dtype), dW=dW,
+                          r=r, e=e, mask=mask)
 
 
 def linear_gradient_correction_matrix(rp: ReferencePairs, vol, alpha: float = 0.0,

@@ -1,0 +1,38 @@
+"""Multi-resolution cantilever beam (cases/mr_cantilever_beam_2d.py =
+test_2d_mr_cantilever_beam): the adaptive-h frozen-pair machinery must
+reproduce the uniform beam's oscillation.
+
+Full-horizon comparison (logged in PROGRESS.md): over t = 0..0.6 the MR
+beam's period is 0.2888 vs the matched-dx uniform beam's 0.2867 (0.7%)
+and the amplitudes agree within 0.9%.  This test runs the first swing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_mr_beam_first_swing_matches_uniform():
+    from sphinxsys_tpu.cases import mr_cantilever_beam_2d as mr
+
+    case, s = mr.build_case()
+    # mixed resolutions present
+    hr = np.asarray(s.solid["SmoothingLengthRatio"])
+    assert (hr == 1.0).any() and (hr == 2.0).any()
+    run = mr.make_run_chunk(case)
+
+    tips = []
+    for i in range(1, 17):
+        s = run(s, jnp.asarray(i * 0.01, s.time.dtype))
+        tips.append((float(s.time), mr.tip_displacement(case, s)))
+    t = np.asarray([p[0] for p in tips])
+    y = np.asarray([p[1] for p in tips])
+    assert np.isfinite(y).all()
+    # amplitude ~ 0.117 (uniform beam: 0.116)
+    assert 0.08 < np.abs(y).max() < 0.15
+    # first zero crossing ~ T/2 = 0.143 (period 0.2888)
+    cross = np.nonzero((y[:-1] > 0) & (y[1:] <= 0))[0]
+    if len(cross) == 0:
+        cross = np.nonzero((y[:-1] < 0) & (y[1:] >= 0))[0]
+    assert len(cross) > 0
+    t_cross = t[cross[0]]
+    assert 0.11 < t_cross < 0.17
