@@ -182,3 +182,54 @@ def test_supersonic_cylinder_bow_shock():
     xs, rr = xs[order], rr[order]
     crossing = xs[np.nonzero(rr > 1.8)[0][0]]
     assert -2.5 < crossing < -1.1
+
+
+def test_muscl_sharper_than_first_order():
+    """Sod shock tube on the quasi-1D quad strip: the MUSCL-reconstructed
+    HLLC step (Green-Gauss gradients + Barth-Jespersen limiter) beats the
+    first-order step's L1(rho) error, with no over/undershoots beyond the
+    initial plateaus (limiter at work)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_compressible_eulerian import sod_exact
+
+    from sphinxsys_tpu.core.materials import CompressibleFluid
+    from sphinxsys_tpu.fvm.mesh import compile_mesh
+    from sphinxsys_tpu.fvm.meshgen import rect_grid
+
+    mesh = compile_mesh(rect_grid(200, 4, 1.0, 0.02))
+    dm = fv.to_device(mesh)
+    gas = CompressibleFluid(gamma=1.4)
+    x = np.asarray(dm.centroids[:, 0])
+    rho0 = np.where(x < 0.5, 1.0, 0.125)
+    p0 = np.where(x < 0.5, 1.0, 0.1)
+    far = fv.FarField(rho=1.0, vel=(0.0, 0.0), p=1.0)
+
+    def run(step_fn, t_end=0.2):
+        st = {"Density": jnp.asarray(rho0, jnp.float32),
+              "Velocity": jnp.zeros((dm.n_cells, 2), jnp.float32),
+              "Pressure": jnp.asarray(p0, jnp.float32)}
+        st["TotalEnergyDensity"] = st["Pressure"] / (gas.gamma - 1.0)
+
+        @jax.jit
+        def adv(st, t):
+            def body(c):
+                s, tt = c
+                dt = fv.compressible_time_step_fvm(s, gas, dm, cfl=0.3)
+                return (step_fn(s, dm, gas, far, dt), tt + dt)
+
+            return jax.lax.while_loop(lambda c: c[1] < t, body,
+                                      (st, jnp.zeros((), jnp.float32)))
+
+        return adv(st, t_end)[0]
+
+    exact = np.asarray(sod_exact(x, 0.2))
+    l1_first = np.abs(np.asarray(
+        run(fv.compressible_step)["Density"]) - exact).mean()
+    st2 = run(fv.compressible_step_muscl)
+    rho2 = np.asarray(st2["Density"])
+    l1_muscl = np.abs(rho2 - exact).mean()
+    assert l1_muscl < 0.85 * l1_first      # measured 0.023 vs 0.031
+    assert l1_muscl < 0.027
+    assert rho2.min() > 0.124 and rho2.max() < 1.001   # limited, no wiggles
