@@ -239,13 +239,55 @@ def floating_body():
     print("float y:", ["%.4f" % y for y in ys[:8]], "...")
 
 
+def turbulent_channel():
+    """Centerpoint TurbulentViscosity curve (the reference channel's DTW
+    regression quantity, test_2d_turbulent_channel.cpp:131)."""
+    from sphinxsys_tpu.cases import turbulent_channel_2d as tc
+
+    case, fluid = tc.build_case()
+    s = tc.init_sim(case, fluid)
+    run = tc.make_run_chunk(case)
+    series = []
+    for i in range(1, 21):
+        s = run(s, jnp.asarray(i * 1.0, s.time.dtype))
+        f = s.fluid
+        # centerpoint = particle nearest (length/2, DH/2)
+        import numpy as _np
+        pos = _np.asarray(f["Position"])
+        j = int(_np.argmin(_np.linalg.norm(
+            pos - _np.asarray([case.length / 2, tc.DH / 2]), axis=1)))
+        series.append(float(f["TurbulentViscosity"][j]))
+    # chaotic series: threshold covers the measured re-run spread (~0.03)
+    write_db("turbulent_channel_2d", "WaterBody", "TurbulentViscosity",
+             series, 0.08)
+    print("turbulent_channel_2d:", ["%.2e" % v for v in series[:6]], "...")
+
+
+def fvm_cylinder():
+    """Total force on the cylinder (the reference FVM case's DTW quantity
+    ViscousForceOnSolid, 2d_FVM_flow_around_cylinder.cpp:131)."""
+    from sphinxsys_tpu.cases import fvm_cylinder_2d as fc
+
+    case, fluid = fc.build_case()
+    s = fc.init_sim(case, fluid)
+    run = fc.make_run_chunk(case)
+    series = []
+    for i in range(1, 31):
+        s = run(s, jnp.asarray(i * 2.0, s.time.dtype))
+        fx = float(fc.cylinder_force(case, s)[0])
+        series.append(fx)
+    write_db("fvm_cylinder_2d", "WaterBody", "ForceOnCylinderX", series, 1.5)
+    print("fvm_cylinder_2d:", ["%.3f" % v for v in series[:6]], "...")
+
+
 if __name__ == "__main__":
     import sys
 
     only = sys.argv[1:] or None
     for fn in (dambreak, beam, taylor_green, dambreak_wall_pressure_probe,
                shell_cantilever, shell_plate, column_collapse, two_phase,
-               ball_shell, lid_cavity, floating_body):
+               ball_shell, lid_cavity, floating_body, turbulent_channel,
+               fvm_cylinder):
         if only and fn.__name__ not in only:
             continue
         print(f"--- {fn.__name__}")

@@ -114,8 +114,6 @@ def cells_as_body(case: FVMCylinderCase, s: SimState) -> dict:
     """Cell-centered fields as a pseudo-particle body for VTP output (the
     reference writes FVM results through BodyStatesRecordingInMeshToVtu;
     cell centroids as points is the particle-writer equivalent)."""
-    import numpy as np
-
     return {"Position": jnp.asarray(case.mesh.centroids,
                                     s.fluid["Density"].dtype),
             "VolumetricMeasure": jnp.asarray(case.mesh.volumes,

@@ -323,7 +323,6 @@ def barth_jespersen_limiter(q, grad, dm: DeviceMesh):
     """(C,) scalar limiter psi in [0,1]: reconstructed face values stay
     within the neighborhood's [min, max]."""
     q_min, q_max = _neighbor_minmax(q, dm)
-    dvec = dm.midpoint[:, None, :] - dm.centroids[dm.owner][:, None, :]
     # per-cell: evaluate dq at each of ITS faces
     f = dm.cell_faces
     d_cf = dm.midpoint[f] - dm.centroids[:, None, :]          # (C, K, d)
