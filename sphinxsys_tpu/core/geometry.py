@@ -217,6 +217,17 @@ class ComplexShape(Shape):
         return np.min(np.stack(los), 0), np.max(np.stack(his), 0)
 
 
+def make_multi_polygon(*parts: Tuple[str, Sequence]) -> ComplexShape:
+    """MultiPolygonShape (for_2D_build/geometries/multi_polygon_shape.h):
+    a CSG chain of 2D polygons from ("add"|"sub", vertex_list) pairs —
+    the reference's addAPolygon(..., GeometricOps::add/sub) sequence.
+    Each polygon uses the exact edge-distance SDF; no triangulation
+    (earcut) is needed because containment is computed by crossing
+    parity, not by triangle decomposition."""
+    return make_complex(*[(op, Polygon(vertices=tuple(map(tuple, v))))
+                          for op, v in parts])
+
+
 def make_complex(*parts: Tuple[str, Shape]) -> ComplexShape:
     """Build a ComplexShape from ("add"|"sub", shape) pairs, mirroring the
     reference's `add<>`/`subtract<>` API (ComplexShape, complex_geometry.h)."""

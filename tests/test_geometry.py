@@ -105,3 +105,15 @@ def test_surface_lattice_generator_ring():
     # determinism: same seed -> identical distribution
     pos2, _, _ = generate_surface_lattice(ring, lo, hi, dx, t)
     assert np.array_equal(pos, pos2)
+
+
+def test_multi_polygon_shape():
+    """make_multi_polygon: the reference's MultiPolygonShape add/sub chain
+    — an L-shape built as square minus corner square, exact containment."""
+    L = G.make_multi_polygon(
+        ("add", [(0, 0), (2, 0), (2, 2), (0, 2)]),
+        ("sub", [(1, 1), (2, 1), (2, 2), (1, 2)]))
+    pts = jnp.asarray([[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5],
+                       [2.5, 0.5]])
+    inside = np.asarray(L.contains(pts))
+    assert list(inside) == [True, True, False, True, False]
