@@ -63,7 +63,7 @@ class BlockCase:
     c_max: int
     use_pallas: bool = False
     pallas_interpret: bool = False   # run the Pallas sweeps interpreted (CPU)
-    tile_c: int = 384
+    tile_c: int = 256
     wall_dense_map: Any = None       # static wall cell->block lookup
 
     @property
@@ -83,7 +83,7 @@ def _slot_mask_2d(bm: BlockMap):
 
 def build_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 16,
                c_max: int | None = None, use_pallas: bool = False,
-               pallas_interpret: bool = False, tile_c: int = 384):
+               pallas_interpret: bool = False, tile_c: int = 256):
     """`use_pallas=True` runs the acoustic pair sweeps as the fused
     transposed Pallas kernels (ops/pallas_block2.py); `pallas_interpret`
     runs them in interpreter mode for CPU tests."""
