@@ -265,14 +265,22 @@ def compressible_time_step_fvm(state, gas, dm: DeviceMesh, cfl: float = 0.3):
     return cfl * dm.min_edge / (jnp.max(c + speed) + TINY)
 
 
-def compressible_step(state, dm: DeviceMesh, gas, far: FarField, dt):
+def compressible_step(state, dm: DeviceMesh, gas, far: FarField, dt,
+                      ghost_override=None, t=0.0):
     """One conservative ideal-gas step with HLLC star-state face fluxes:
       F_mass = rho* vn* A,  F_mom = (rho* v* vn* + p* n) A,
-      F_E    = (E* + p*) vn* A."""
+      F_E    = (E* + p*) vn* A.
+
+    `ghost_override(l, r, dm, t) -> r` replaces the default boundary ghost
+    states entirely (case-specific BC setups like the double-mach
+    reflection's mixed/time-dependent boundaries)."""
     from sphinxsys_tpu.physics.eulerian import hllc_interface_state
 
     (rho_l, vel_l, p_l, E_l), (rho_r, vel_r, p_r, E_r) = \
         compressible_face_states(state, dm, far, gas)
+    if ghost_override is not None:
+        rho_r, vel_r, p_r, E_r = ghost_override(
+            (rho_l, vel_l, p_l, E_l), (rho_r, vel_r, p_r, E_r), dm, t)
     rho_s, vel_s, p_s, E_s = hllc_interface_state(
         gas, rho_l, vel_l, p_l, E_l, rho_r, vel_r, p_r, E_r, -dm.normal)
     vn = jnp.sum(vel_s * dm.normal, axis=-1)
@@ -346,11 +354,12 @@ def muscl_face_values(q, dm: DeviceMesh):
     q_r = q[dm.neigh] + jnp.sum(lim_grad[dm.neigh] * d_r, axis=-1)
     return q_l, q_r
 
-def compressible_step_muscl(state, dm: DeviceMesh, gas, far: FarField, dt):
+def compressible_step_muscl(state, dm: DeviceMesh, gas, far: FarField, dt,
+                            ghost_override=None, t=0.0):
     """Second-order variant of compressible_step: primitive variables
     (rho, u, v, p) are MUSCL-reconstructed to the face midpoints before
     the HLLC flux; ghost boundary states are built from the reconstructed
-    owner-side values."""
+    owner-side values.  `ghost_override` as in compressible_step."""
     from sphinxsys_tpu.physics.eulerian import hllc_interface_state
 
     rho, vel, p = state["Density"], state["Velocity"], state["Pressure"]
@@ -386,6 +395,9 @@ def compressible_step_muscl(state, dm: DeviceMesh, gas, far: FarField, dt):
     rho_r = jnp.where(inflow, far.rho, jnp.where(outflow, rho_l, rho_r))
     p_r = jnp.where(inflow, far.p, jnp.where(outflow, p_l, p_r))
     E_r = jnp.where(inflow, E_far, jnp.where(outflow, E_l, E_r))
+    if ghost_override is not None:
+        rho_r, vel_r, p_r, E_r = ghost_override(
+            (rho_l, vel_l, p_l, E_l), (rho_r, vel_r, p_r, E_r), dm, t)
 
     rho_s, vel_s, p_s, E_s = hllc_interface_state(
         gas, rho_l, vel_l, p_l, E_l, rho_r, vel_r, p_r, E_r, -dm.normal)

@@ -112,6 +112,16 @@ CASES = {
     "fish_fsi_2d": _run_single_fluid(
         "fish_fsi_2d",
         lambda c, s: {"WaterBody": s.fluid, "FishBody": s.fish}, t_end=1.7),
+    "double_mach_reflection_2d": _run_single_fluid(
+        "double_mach_reflection_2d",
+        lambda c, s: {"GasCells": {
+            "Position": __import__("jax.numpy", fromlist=["asarray"]).asarray(
+                c.mesh.centroids, s.fluid["Density"].dtype),
+            "Density": s.fluid["Density"], "Velocity": s.fluid["Velocity"],
+            "Pressure": s.fluid["Pressure"],
+            "NReal": __import__("jax.numpy", fromlist=["asarray"]).asarray(
+                c.dm.n_cells, __import__("jax.numpy", fromlist=["int32"]).int32)}},
+        t_end=0.2),
     "fvm_cylinder_2d": _run_single_fluid(
         "fvm_cylinder_2d",
         lambda c, s: {"FluidCells": __import__(

@@ -233,3 +233,29 @@ def test_muscl_sharper_than_first_order():
     assert l1_muscl < 0.85 * l1_first      # measured 0.023 vs 0.031
     assert l1_muscl < 0.027
     assert rho2.min() > 0.124 and rho2.max() < 1.001   # limited, no wiggles
+
+
+def test_double_mach_reflection_pattern():
+    """Mach-10 double Mach reflection (2d_FVM_double_mach_reflection.h):
+    at t = 0.2 the Mach stem foot reaches x ~ 2.8 on the wall (the
+    self-similar position in the Woodward-Colella configuration), the
+    density peaks strongly under the stem, and the pre-shock region stays
+    undisturbed."""
+    from sphinxsys_tpu.cases import double_mach_reflection_2d as dmr
+
+    case, fluid = dmr.build_case(nx=240, ny=60)
+    s = dmr.init_sim(case, fluid)
+    run = dmr.make_run_chunk(case)
+    s = run(s, jnp.asarray(0.2, s.time.dtype))
+
+    rho = np.asarray(s.fluid["Density"])
+    assert np.isfinite(rho).all() and rho.min() > 1.35
+    stem = dmr.wall_shock_position(case, s)
+    assert 2.55 < stem < 3.05
+    assert 15.0 < rho.max() < 35.0       # stem density peak
+    # pre-shock quiet zone ahead of the top shock position
+    c = case.mesh.centroids
+    x_s_top = dmr.X0 + 0.2 * dmr.SHOCK_SPEED_X + dmr.DH / dmr.TAN60
+    quiet = (c[:, 0] > x_s_top + 0.3)
+    if quiet.any():
+        assert np.abs(rho[quiet] - dmr.RHO_PRE).max() < 0.05
