@@ -135,6 +135,7 @@ def main() -> None:
             "acoustic_steps": n_ac,
             "pairs_per_sweep": pairs,
             "elapsed_s": elapsed,
+            "sim_seconds_per_wall_second": n_adv * dt_adv_est / elapsed,
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0]),
         },

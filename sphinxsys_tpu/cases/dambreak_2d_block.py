@@ -81,7 +81,7 @@ def _slot_mask_2d(bm: BlockMap):
     return jnp.concatenate([m, jnp.zeros((1, bm.cap), dtype=bool)], axis=0)
 
 
-def build_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 16,
+def build_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 12,
                c_max: int | None = None, use_pallas: bool = False,
                pallas_interpret: bool = False, tile_c: int = 256):
     """`use_pallas=True` runs the acoustic pair sweeps as the fused
@@ -93,7 +93,10 @@ def build_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 16,
         return ((n + m - 1) // m) * m
 
     # fluid block count padded to the Pallas tile size (sweep grid tiles)
-    c_max = _round(c_max or max(base.n_fluid // 4, 256), tile_c)
+    # measured dambreak occupancy stays under n_fluid/6 occupied cells
+    # through impact (max 12.5k at 80k particles, benchmarks PROGRESS.md);
+    # n_fluid/5 leaves sloshing margin — the overflow flag guards the rest
+    c_max = _round(c_max or max(base.n_fluid // 5, 256), tile_c)
     c_max_w = _round(max(base.n_wall // 4, 256), 32)
 
     # static wall blocks (jitted: eager remote-TPU dispatch is latency-bound)

@@ -74,9 +74,11 @@ def _wendland_dwv(dx, dy, vol_j, inv_h, factor_w):
 def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, fx_ref, fy_ref, rd_ref, *,
                 inv_h, factor_w, inv_rho0c0):
     t = xi_ref.shape[-1]
-    fx_ref[...] = jnp.zeros((CAP, t), jnp.float32)
-    fy_ref[...] = jnp.zeros((CAP, t), jnp.float32)
-    rd_ref[...] = jnp.zeros((CAP, t), jnp.float32)
+    cap = xi_ref.shape[-2]          # slots per cell (configurable, def. 16)
+    capj = xj_ref.shape[-2]
+    fx_ref[...] = jnp.zeros((cap, t), jnp.float32)
+    fy_ref[...] = jnp.zeros((cap, t), jnp.float32)
+    rd_ref[...] = jnp.zeros((cap, t), jnp.float32)
 
     # tiles beyond the occupied block range are all-sentinel: skip
     @pl.when(wflag_ref[pl.program_id(0)] >= 0)
@@ -85,10 +87,9 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, fx_ref, fy_ref, rd_ref, *,
         x_i = xi[I1X][:, None, :]
         y_i = xi[I1Y][:, None, :]
         p_i = xi[I1P][:, None, :]
-        facc = jnp.zeros((CAP, CAP, t), jnp.float32)
-        fxa = jnp.zeros((CAP, CAP, t), jnp.float32)
-        fya = jnp.zeros((CAP, CAP, t), jnp.float32)
-        rda = jnp.zeros((CAP, CAP, t), jnp.float32)
+        fxa = jnp.zeros((cap, capj, t), jnp.float32)
+        fya = jnp.zeros((cap, capj, t), jnp.float32)
+        rda = jnp.zeros((cap, capj, t), jnp.float32)
         for w in range(NW):
             xj = xj_ref[w]                 # (4, CAP, T)
             dx = x_i - xj[J1X][None]
@@ -115,9 +116,9 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, fx_ref, fy_ref, rd_ref, *,
         rho_i = xi[I1RHO][:, None, :]
         ax_i = xi[I1AX][:, None, :]
         ay_i = xi[I1AY][:, None, :]
-        fxw = jnp.zeros((CAP, t), jnp.float32)
-        fyw = jnp.zeros((CAP, t), jnp.float32)
-        rdw = jnp.zeros((CAP, t), jnp.float32)
+        fxw = jnp.zeros((cap, t), jnp.float32)
+        fyw = jnp.zeros((cap, t), jnp.float32)
+        rdw = jnp.zeros((cap, t), jnp.float32)
         for w in range(NW):
             wj = wj_ref[w]                 # (9, CAP, T)
             dx = x_i - wj[WX][None]
@@ -141,9 +142,11 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, fx_ref, fy_ref, rd_ref, *,
 def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, fx_ref, fy_ref, *,
                 inv_h, factor_w, rho0c0_geo, inv_c0, limiter_coeff):
     t = xi_ref.shape[-1]
-    dcr_ref[...] = jnp.zeros((CAP, t), jnp.float32)
-    fx_ref[...] = jnp.zeros((CAP, t), jnp.float32)
-    fy_ref[...] = jnp.zeros((CAP, t), jnp.float32)
+    cap = xi_ref.shape[-2]
+    capj = xj_ref.shape[-2]
+    dcr_ref[...] = jnp.zeros((cap, t), jnp.float32)
+    fx_ref[...] = jnp.zeros((cap, t), jnp.float32)
+    fy_ref[...] = jnp.zeros((cap, t), jnp.float32)
 
     @pl.when(wflag_ref[pl.program_id(0)] >= 0)
     def _():
@@ -152,9 +155,9 @@ def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, fx_ref, fy_ref, *,
         y_i = xi[I2Y][:, None, :]
         vx_i = xi[I2VX][:, None, :]
         vy_i = xi[I2VY][:, None, :]
-        dcra = jnp.zeros((CAP, CAP, t), jnp.float32)
-        fxa = jnp.zeros((CAP, CAP, t), jnp.float32)
-        fya = jnp.zeros((CAP, CAP, t), jnp.float32)
+        dcra = jnp.zeros((cap, capj, t), jnp.float32)
+        fxa = jnp.zeros((cap, capj, t), jnp.float32)
+        fya = jnp.zeros((cap, capj, t), jnp.float32)
         for w in range(NW):
             xj = xj_ref[w]                 # (5, CAP, T)
             dx = x_i - xj[J2X][None]
@@ -183,9 +186,9 @@ def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, fx_ref, fy_ref, *,
         y_i = xi[I2Y][:, None, :]
         vx_i = xi[I2VX][:, None, :]
         vy_i = xi[I2VY][:, None, :]
-        dcrw = jnp.zeros((CAP, t), jnp.float32)
-        fxw = jnp.zeros((CAP, t), jnp.float32)
-        fyw = jnp.zeros((CAP, t), jnp.float32)
+        dcrw = jnp.zeros((cap, t), jnp.float32)
+        fxw = jnp.zeros((cap, t), jnp.float32)
+        fyw = jnp.zeros((cap, t), jnp.float32)
         for w in range(NW):
             wj = wj_ref[w]
             dx = x_i - wj[WX][None]
@@ -216,29 +219,29 @@ def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, fx_ref, fy_ref, *,
 
 
 def _call(kern, xi_t, xj_t, wj_t, wflag, n_out, tile_c, interpret=False):
-    chi, _, c = xi_t.shape
-    chj = xj_t.shape[1]
-    chw = wj_t.shape[1]
+    chi, cap, c = xi_t.shape
+    chj, capj = xj_t.shape[1], xj_t.shape[2]
+    chw, capw = wj_t.shape[1], wj_t.shape[2]
     if c % tile_c != 0:
         raise ValueError(f"block count {c} not a multiple of tile_c={tile_c}")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(c // tile_c,),
         in_specs=[
-            pl.BlockSpec((chi, CAP, tile_c), lambda i, *_: (0, 0, i),
+            pl.BlockSpec((chi, cap, tile_c), lambda i, *_: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW, chj, CAP, tile_c), lambda i, *_: (0, 0, 0, i),
+            pl.BlockSpec((NW, chj, capj, tile_c), lambda i, *_: (0, 0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((NW, chw, CAP, tile_c), lambda i, *_: (0, 0, 0, i),
+            pl.BlockSpec((NW, chw, capw, tile_c), lambda i, *_: (0, 0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((CAP, tile_c), lambda i, *_: (0, i),
+        out_specs=[pl.BlockSpec((cap, tile_c), lambda i, *_: (0, i),
                                 memory_space=pltpu.VMEM)] * n_out,
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((CAP, c), jnp.float32)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((cap, c), jnp.float32)] * n_out,
         interpret=interpret,
     )(wflag, xi_t, xj_t, wj_t)
 
@@ -248,7 +251,7 @@ def _call(kern, xi_t, xj_t, wj_t, wflag, n_out, tile_c, interpret=False):
                                              "interpret"))
 def ac1_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
                 inv_rho0c0: float, tile_c: int = 256, interpret: bool = False):
-    """Fused 1st-half inner+wall sweep.  Returns (fx, fy, rd), (CAP, C)."""
+    """Fused 1st-half inner+wall sweep.  Returns (fx, fy, rd), (cap, C)."""
     kern = functools.partial(_ac1_kernel, inv_h=inv_h, factor_w=factor_w,
                              inv_rho0c0=inv_rho0c0)
     return _call(kern, xi_t, xj_t, wj_t, wflag, 3, tile_c, interpret)
@@ -299,9 +302,10 @@ def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
       sigw = sum_w sum_k W V_k over wall windows (m_k / rho0_k = V_k)."""
     xi = xi_ref[...]                       # (2, CAP, T)
     t = xi.shape[-1]
+    cap = xi.shape[-2]
     x_i = xi[0][:, None, :]
     y_i = xi[1][:, None, :]
-    sig = jnp.zeros((CAP, t), jnp.float32)
+    sig = jnp.zeros((cap, t), jnp.float32)
 
     def w_of(dx, dy):
         r2 = dx * dx + dy * dy
@@ -314,11 +318,11 @@ def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
         xj = xj_ref[w]                     # (2, CAP, T)
         sig = sig + jnp.sum(w_of(x_i - xj[0][None], y_i - xj[1][None]), axis=1)
     sig_ref[...] = sig
-    sigw_ref[...] = jnp.zeros((CAP, t), jnp.float32)
+    sigw_ref[...] = jnp.zeros((cap, t), jnp.float32)
 
     @pl.when(wflag_ref[pl.program_id(0)] > 0)
     def _():
-        sigw = jnp.zeros((CAP, t), jnp.float32)
+        sigw = jnp.zeros((cap, t), jnp.float32)
         for w in range(NW):
             wj = wj_ref[w]
             W = w_of(x_i - wj[WX][None], y_i - wj[WY][None])
