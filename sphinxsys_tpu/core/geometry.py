@@ -131,6 +131,32 @@ class Ball(Shape):
 
 
 @dataclasses.dataclass(frozen=True)
+class Ellipsoid(Shape):
+    """Axis-aligned ellipsoid (the procedural stand-in for STL organ
+    geometries): the standard first-order SDF approximation
+    sd = k0 (k0 - 1) / k1 with k0 = |p/r|, k1 = |p/r^2| — exact sign
+    everywhere, distance accurate near the surface (where generators and
+    network growth use it)."""
+
+    center: Tuple[float, ...]
+    semi_axes: Tuple[float, ...]
+    name: str = "Ellipsoid"
+
+    def signed_distance(self, pos):
+        c = jnp.asarray(self.center, dtype=pos.dtype)
+        r = jnp.asarray(self.semi_axes, dtype=pos.dtype)
+        p = pos - c
+        k0 = jnp.sqrt(jnp.sum((p / r) ** 2, axis=-1) + 1e-30)
+        k1 = jnp.sqrt(jnp.sum((p / (r * r)) ** 2, axis=-1) + 1e-30)
+        return k0 * (k0 - 1.0) / k1
+
+    def bounds(self):
+        c = np.asarray(self.center, dtype=np.float64)
+        r = np.asarray(self.semi_axes, dtype=np.float64)
+        return c - r, c + r
+
+
+@dataclasses.dataclass(frozen=True)
 class HalfSpace(Shape):
     """Half space {x : (x - point) . normal < 0}; useful for open walls."""
 

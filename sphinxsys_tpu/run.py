@@ -101,6 +101,9 @@ CASES = {
         "shell_cantilever_2d", lambda c, s: {"Shell": s.shell}, t_end=1.0),
     "slender_beam_3d": _run_single_fluid(
         "slender_beam_3d", lambda c, s: {"BarBody": s.bar}, t_end=0.8),
+    "pkj_lv_electrocontraction_3d": _run_single_fluid(
+        "pkj_lv_electrocontraction_3d",
+        lambda c, s: {"Myocardium": s.myo}, t_end=10.0),
     "shell_plate_3d": _run_single_fluid(
         "shell_plate_3d", lambda c, s: {"Plate": s.shell}, t_end=0.02),
     "dambreak_3d": _run_single_fluid(
