@@ -210,3 +210,83 @@ def constrain_by_rigid_body_3d(state: State, mask, rb: RigidBody3D,
         out["NormalDirection"] = jnp.where(
             m, state["InitialNormalDirection"] @ R.T, state["NormalDirection"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Articulated bodies: planar pin (revolute) joint — the
+# SimTK::MobilizedBody::Pin + Force::MobilityLinearDamper pairing the OWSC
+# wave-energy flap uses (test_2d_owsc/owsc.cpp:151-158).
+# ---------------------------------------------------------------------------
+
+class PinJoint2D(NamedTuple):
+    pivot: jnp.ndarray          # (2,) fixed world anchor
+    theta: jnp.ndarray          # () rotation about the pivot
+    omega: jnp.ndarray          # ()
+    mass: jnp.ndarray           # ()
+    inertia: jnp.ndarray        # () about the PIVOT
+    com0: jnp.ndarray           # (2,) initial COM (for the gravity torque)
+
+
+def pin_joint_from_particles(state: State, mask, pivot) -> PinJoint2D:
+    dtype = state["Position"].dtype
+    pv = jnp.asarray(pivot, dtype)
+    m = jnp.where(mask, state["Mass"], 0.0)
+    total = jnp.sum(m)
+    com = jnp.sum(m[:, None] * state["Position"], axis=0) / total
+    r = state["Position"] - pv
+    inertia = jnp.sum(m * jnp.sum(r * r, axis=-1))
+    z = jnp.zeros((), dtype)
+    return PinJoint2D(pivot=pv, theta=z, omega=z, mass=total,
+                      inertia=inertia, com0=com)
+
+
+def pin_torque(state: State, mask, pj: PinJoint2D,
+               force_keys=("Force", "ForcePrior")):
+    """Torque of the part's SPH forces about the pivot."""
+    f = jnp.zeros_like(state["Position"])
+    for k in force_keys:
+        f = f + state[k]
+    f = jnp.where(mask[:, None], f, 0.0)
+    r = state["Position"] - pj.pivot
+    return jnp.sum(r[:, 0] * f[:, 1] - r[:, 1] * f[:, 0])
+
+
+def pin_joint_step(pj: PinJoint2D, torque, dt, damping: float = 0.0,
+                   stiffness: float = 0.0, gravity=None) -> PinJoint2D:
+    """Symplectic Euler of I_pivot d(omega)/dt = tau - c omega - k theta
+    (+ the gravity torque about the pivot); the damper c is the PTO
+    (MobilityLinearDamper)."""
+    tau = torque - damping * pj.omega - stiffness * pj.theta
+    if gravity is not None:
+        g = jnp.asarray(gravity, pj.pivot.dtype)
+        c, s = jnp.cos(pj.theta), jnp.sin(pj.theta)
+        R = jnp.asarray([[c, -s], [s, c]], pj.pivot.dtype)
+        com = pj.pivot + R @ (pj.com0 - pj.pivot)
+        r = com - pj.pivot
+        tau = tau + pj.mass * (r[0] * g[1] - r[1] * g[0])
+    omega = pj.omega + tau / pj.inertia * dt
+    theta = pj.theta + omega * dt
+    return pj._replace(theta=theta, omega=omega)
+
+
+def constrain_by_pin_joint(state: State, mask, pj: PinJoint2D,
+                           initial_pos) -> State:
+    """Impose the pivot rotation on the part's particles:
+    x = pivot + R(theta)(x0 - pivot), v = omega x r."""
+    out = dict(state)
+    dtype = state["Position"].dtype
+    c, s = jnp.cos(pj.theta), jnp.sin(pj.theta)
+    R = jnp.asarray([[c, -s], [s, c]], dtype)
+    r0 = initial_pos - pj.pivot
+    new_pos = pj.pivot + r0 @ R.T
+    r = new_pos - pj.pivot
+    new_vel = pj.omega * jnp.stack([-r[:, 1], r[:, 0]], axis=-1)
+    m = mask[:, None]
+    out["Position"] = jnp.where(m, new_pos, state["Position"])
+    out["Velocity"] = jnp.where(m, new_vel, state["Velocity"])
+    if "AverageVelocity" in state:
+        out["AverageVelocity"] = jnp.where(m, new_vel, state["AverageVelocity"])
+    if "NormalDirection" in state and "InitialNormalDirection" in state:
+        out["NormalDirection"] = jnp.where(
+            m, state["InitialNormalDirection"] @ R.T, state["NormalDirection"])
+    return out

@@ -79,6 +79,10 @@ CASES = {
         "two_phase_dambreak_2d",
         lambda c, s: {"WaterBody": s.water, "AirBody": s.air, "Wall": c.wall},
         t_end=10.0),
+    "owsc_2d": _run_single_fluid(
+        "owsc_2d",
+        lambda c, s: {"WaterBody": s.fluid, "Flap": s.flap, "Wall": c.wall},
+        t_end=4.0),
     "floating_body_2d": _run_single_fluid(
         "floating_body_2d",
         lambda c, s: {"WaterBody": s.fluid, "Block": s.block, "Wall": c.wall},
