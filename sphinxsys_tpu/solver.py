@@ -123,3 +123,25 @@ def run_simulation(run_chunk, sim, end_time: float, output_interval: float,
             print(f"t = {t:.4f} / {end_time}  (adv {int(sim.n_adv)}, "
                   f"ac {int(sim.n_ac)})", flush=True)
     return sim, timer
+
+
+def rk2_sequence(step_fn, keys):
+    """Generic second-order Runge-Kutta sequence combinator
+    (RungeKuttaSequence / Dynamics1LevelRK2: run the 1st-order relaxation
+    twice and average the advanced fields with their initial values —
+    the pattern the reference instantiates per dynamic, e.g.
+    continuum_dynamics and diffusion RK2 variants).
+
+    `step_fn(state, dt, *args, **kwargs) -> state` advances the fields in
+    `keys` first order; the returned callable advances them second order.
+    """
+
+    def rk2(state, dt, *args, **kwargs):
+        s1 = step_fn(state, dt, *args, **kwargs)
+        s2 = step_fn(s1, dt, *args, **kwargs)
+        out = dict(s2)
+        for key in keys:
+            out[key] = 0.5 * (state[key] + s2[key])
+        return out
+
+    return rk2

@@ -38,3 +38,31 @@ def test_run_simulation_dambreak():
     assert float(s.time) >= 0.3
     assert len(outputs) == 3
     assert "integrate" in timer.totals
+
+
+def test_rk2_sequence_order():
+    """rk2_sequence turns a 1st-order step into 2nd order: on dc/dt = -c
+    the Euler error scales ~dt, the RK2 error ~dt^2."""
+    import numpy as np
+
+    from sphinxsys_tpu.solver import rk2_sequence
+
+    def euler(state, dt):
+        out = dict(state)
+        out["C"] = state["C"] - state["C"] * dt
+        return out
+
+    rk2 = rk2_sequence(euler, ["C"])
+    import jax.numpy as jnp
+
+    exact = float(np.exp(-1.0))
+
+    def run(step, n):
+        s = {"C": jnp.asarray(1.0)}
+        for _ in range(n):
+            s = step(s, 1.0 / n)
+        return abs(float(s["C"]) - exact)
+
+    e1, e2 = run(rk2, 10), run(rk2, 20)
+    assert e2 < e1 / 3.2            # ~4x drop = 2nd order
+    assert run(rk2, 20) < run(euler, 20) / 10.0
