@@ -54,7 +54,7 @@ def particle_levels(h_ratio, n_levels: int):
 
 def build_multilevel_tables(pos, valid, h_ratio, lower, upper, h_ref: float,
                             kernel_size: float = 2.0, n_levels: int = 2,
-                            cap: int = 24) -> MultilevelTables:
+                            cap: int = 24, periodic=None) -> MultilevelTables:
     level_of = particle_levels(h_ratio, n_levels)
     n = pos.shape[0]
     if getattr(valid, "ndim", 0) == 0:
@@ -62,7 +62,9 @@ def build_multilevel_tables(pos, valid, h_ratio, lower, upper, h_ref: float,
     grids, tables, cutoffs = [], [], []
     for l in range(n_levels):
         cutoff_l = kernel_size * h_ref / (2 ** l)
-        grid = grid_from_bounds(lower, upper, cutoff_l)
+        grid = (grid_from_bounds(lower, upper, cutoff_l, periodic=periodic)
+                if periodic is not None else
+                grid_from_bounds(lower, upper, cutoff_l))
         mask = valid & (level_of >= l)
         tables.append(build_cell_table(pos, mask, grid, cap=cap * (2 ** l)))
         grids.append(grid)
@@ -74,7 +76,7 @@ def build_multilevel_tables(pos, valid, h_ratio, lower, upper, h_ref: float,
 def build_adaptive_neighbor_list(pos_q, valid_q, h_ratio_q, pos_s, h_ratio_s,
                                  ml: MultilevelTables, kernel_size: float,
                                  h_ref: float, k_max_per_level: Sequence[int],
-                                 include_self: bool = False):
+                                 include_self: bool = False, box=None):
     """Adaptive neighbor search: per level l, a 3^d-window query of the
     level-l table at the level-l cutoff, post-filtered by the pair
     criterion r < kernel_size * max(h_i, h_j); level-(l+1..) sources found
@@ -100,7 +102,11 @@ def build_adaptive_neighbor_list(pos_q, valid_q, h_ratio_q, pos_s, h_ratio_s,
         lvl_j, mask = gather(lvl_s, nl.idx)
         hr_j, _ = gather(jnp.asarray(h_ratio_s), nl.idx)
         pos_j, _ = gather(pos_s, nl.idx)
-        r = jnp.linalg.norm(pos_q[:, None, :] - pos_j, axis=-1)
+        disp = pos_q[:, None, :] - pos_j
+        if box is not None and any(b > 0 for b in box):
+            from sphinxsys_tpu.physics.pair import min_image
+            disp = min_image(disp, box)
+        r = jnp.linalg.norm(disp, axis=-1)
         h_j = h_ref / jnp.maximum(hr_j, 1e-30)
         pair_cut = kernel_size * jnp.maximum(h_q[:, None], h_j)
         pair_level = jnp.minimum(lvl_q[:, None], lvl_j)

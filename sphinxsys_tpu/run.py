@@ -70,6 +70,9 @@ CASES = {
     "dambreak_2d": _run_single_fluid(
         "dambreak_2d", lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall},
         t_end=20.0),
+    "taylor_green_mr_2d": _run_single_fluid(
+        "taylor_green_mr_2d", lambda c, s: {"WaterBody": s.fluid},
+        t_end=2.0),
     "taylor_green_2d": _run_single_fluid(
         "taylor_green_2d", lambda c, s: {"WaterBody": s.fluid}, t_end=5.0),
     "lid_driven_cavity_2d": _run_single_fluid(
