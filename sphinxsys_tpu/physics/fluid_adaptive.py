@@ -44,8 +44,13 @@ def adaptive_pair(fluid: State, nl: NeighborList, kernel, dim: int, box=None):
 
 
 def density_summation_adaptive(fluid: State, nl: NeighborList, kernel,
-                               dim: int, rho0: float, box=None) -> State:
-    """rho_i = m_i W(0; h_i) + sum m_j W(r; h_i); Vol = m / rho."""
+                               dim: int, rho0: float, box=None,
+                               wall: State = None,
+                               nl_wall: NeighborList = None,
+                               free_surface: bool = False) -> State:
+    """rho_i = m_i W(0; h_i) + sum m_j W(r; h_i) (+ rho0 sum_wall W V);
+    Vol = m / rho.  `free_surface` clamps rho >= rho0 (truncated supports
+    at a surface otherwise read negative pressure)."""
     pos = fluid["Position"]
     hr = fluid["SmoothingLengthRatio"]
     mass = fluid["Mass"]
@@ -58,6 +63,11 @@ def density_summation_adaptive(fluid: State, nl: NeighborList, kernel,
     W = kernel.W_adaptive(r, hr[:, None], dim) * mask
     w0 = kernel._factor_w(dim) * (hr ** dim) * kernel._w(jnp.zeros((), pos.dtype))
     rho = mass * w0 + jnp.sum(m_j * W, axis=1)
+    if wall is not None:
+        rho = rho + rho0 * density_wall_adaptive(fluid, wall, nl_wall,
+                                                 kernel, dim, box)
+    if free_surface:
+        rho = jnp.maximum(rho, rho0)
     out = dict(fluid)
     out["Density"] = rho
     out["VolumetricMeasure"] = mass / jnp.maximum(rho, TINY)
@@ -66,7 +76,8 @@ def density_summation_adaptive(fluid: State, nl: NeighborList, kernel,
 
 def acoustic_step_1st_half_adaptive(fluid: State, nl: NeighborList, kernel,
                                     dim: int, eos, riemann, dt,
-                                    box=None) -> State:
+                                    box=None, wall: State = None,
+                                    nl_wall: NeighborList = None) -> State:
     out = dict(fluid)
     rho = fluid["Density"] + fluid["DensityChangeRate"] * (0.5 * dt)
     p = eos.pressure(rho)
@@ -82,18 +93,26 @@ def acoustic_step_1st_half_adaptive(fluid: State, nl: NeighborList, kernel,
                      axis=1)
     rho_diss = jnp.sum(riemann.dissipative_u_jump(p[:, None] - p_j) * dWV,
                        axis=1)
+    drho = rho_diss * rho
+    if wall is not None:
+        fw, dw = acoustic_1st_half_wall_adaptive(fluid, p, rho, pos, wall,
+                                                 nl_wall, kernel, dim,
+                                                 riemann, box)
+        force = force + fw
+        drho = drho + dw
     force_total = fluid["Force"] + force * vol[:, None]
     vel = fluid["Velocity"] + (fluid["ForcePrior"] + force_total) \
         / fluid["Mass"][:, None] * dt
     out.update({"Density": rho, "Pressure": p, "Position": pos,
-                "Force": force_total, "DensityChangeRate": rho_diss * rho,
+                "Force": force_total, "DensityChangeRate": drho,
                 "Velocity": vel})
     return out
 
 
 def acoustic_step_2nd_half_adaptive(fluid: State, nl: NeighborList, kernel,
                                     dim: int, riemann, dt,
-                                    box=None) -> State:
+                                    box=None, wall: State = None,
+                                    nl_wall: NeighborList = None) -> State:
     out = dict(fluid)
     pos = fluid["Position"] + fluid["Velocity"] * (0.5 * dt)
     vel = fluid["Velocity"]
@@ -111,7 +130,14 @@ def acoustic_step_2nd_half_adaptive(fluid: State, nl: NeighborList, kernel,
     # (fluid_integration.hpp:195, same structure as the uniform op)
     drho_dt = fluid["DensityChangeRate"] + rho * jnp.sum(u_jump * dWV, axis=1)
     p_diss = riemann.dissipative_p_jump(u_jump) * dWV
-    force = vol[:, None] * jnp.sum(p_diss[..., None] * e, axis=1)
+    force = jnp.sum(p_diss[..., None] * e, axis=1)
+    if wall is not None:
+        fw, dw = acoustic_2nd_half_wall_adaptive(fluid, vel, rho, pos, wall,
+                                                 nl_wall, kernel, dim,
+                                                 riemann, box)
+        force = force + fw
+        drho_dt = drho_dt + dw
+    force = vol[:, None] * force
     rho_new = rho + drho_dt * (0.5 * dt)
     out.update({"Position": pos, "Density": rho_new,
                 "DensityChangeRate": drho_dt, "Force": force})
@@ -119,7 +145,9 @@ def acoustic_step_2nd_half_adaptive(fluid: State, nl: NeighborList, kernel,
 
 
 def viscous_force_adaptive(fluid: State, nl: NeighborList, kernel, dim: int,
-                           mu: float, h_ref: float, box=None) -> State:
+                           mu: float, h_ref: float, box=None,
+                           wall: State = None,
+                           nl_wall: NeighborList = None) -> State:
     r, e, dW, hr_pair, vol_j, mask = adaptive_pair(fluid, nl, kernel, dim,
                                                    box)
     vel_j, _ = gather(fluid["Velocity"], nl.idx)
@@ -127,6 +155,9 @@ def viscous_force_adaptive(fluid: State, nl: NeighborList, kernel, dim: int,
     vderiv = (fluid["Velocity"][:, None, :] - vel_j) \
         / (r + 0.01 * h_pair)[..., None]
     force = 2.0 * mu * jnp.sum(vderiv * (dW * vol_j)[..., None], axis=1)
+    if wall is not None:
+        force = force + viscous_wall_adaptive(fluid, wall, nl_wall, kernel,
+                                              dim, mu, h_ref, box)
     out = dict(fluid)
     vf = force * fluid["VolumetricMeasure"][:, None]
     out["ViscousForce"] = vf
@@ -153,3 +184,94 @@ def transport_velocity_correction_adaptive(fluid: State, nl: NeighborList,
     out["Position"] = fluid["Position"] \
         + (coefficient * h2 * lim)[:, None] * inconsistency
     return out
+
+
+# ---------------------------------------------------------------------------
+# Wall-contact terms (adaptive variants of the fluid.py wall sections)
+# ---------------------------------------------------------------------------
+
+def _wall_pair(pos, hr, wall, nl_w, kernel, dim, box):
+    pos_j, mask = gather(wall["Position"], nl_w.idx)
+    hrw_j, _ = gather(wall["SmoothingLengthRatio"], nl_w.idx)
+    vol_j, _ = gather(wall["VolumetricMeasure"], nl_w.idx)
+    disp = pos[:, None, :] - pos_j
+    if box is not None and any(b > 0 for b in box):
+        disp = min_image(disp, box)
+    r = jnp.sqrt(jnp.sum(disp * disp, axis=-1) + TINY)
+    e = disp / (r[..., None] + TINY)
+    hr_pair = jnp.minimum(hr[:, None], hrw_j)
+    dW = kernel.dW_adaptive(r, hr_pair, dim) * mask
+    return r, e, dW, hr_pair, vol_j, mask
+
+
+def density_wall_adaptive(fluid: State, wall: State, nl_w: NeighborList,
+                          kernel, dim: int, box=None):
+    """Wall contribution to the adaptive density summation: the wall dummy
+    particles' W V at the fluid particle's own h."""
+    pos = fluid["Position"]
+    hr = fluid["SmoothingLengthRatio"]
+    pos_j, mask = gather(wall["Position"], nl_w.idx)
+    vol_j, _ = gather(wall["VolumetricMeasure"], nl_w.idx)
+    disp = pos[:, None, :] - pos_j
+    if box is not None and any(b > 0 for b in box):
+        disp = min_image(disp, box)
+    r = jnp.linalg.norm(disp, axis=-1)
+    W = kernel.W_adaptive(r, hr[:, None], dim) * mask
+    return jnp.sum(W * vol_j, axis=1)              # sum W V over the wall
+
+
+def acoustic_1st_half_wall_adaptive(fluid: State, p, rho, pos, wall: State,
+                                    nl_w: NeighborList, kernel, dim: int,
+                                    riemann, box=None):
+    """(force, drho_dt) wall contributions for the adaptive 1st half
+    (fluid_integration.hpp:89-113 with the adaptive pair kernel)."""
+    hr = fluid["SmoothingLengthRatio"]
+    r, e, dW, _, vol_j, mask = _wall_pair(pos, hr, wall, nl_w, kernel, dim,
+                                          box)
+    acc_prior = fluid["ForcePrior"] / jnp.maximum(fluid["Mass"], TINY)[:, None]
+    wall_acc, _ = gather(wall["AverageAcceleration"], nl_w.idx)
+    dWV = dW * vol_j
+    face_acc = jnp.sum((acc_prior[:, None, :] - wall_acc) * (-e), axis=-1)
+    p_in_wall = p[:, None] + rho[:, None] * r * jnp.maximum(face_acc, 0.0)
+    force = -jnp.sum((p[:, None] + p_in_wall)[..., None] * dWV[..., None] * e,
+                     axis=1)
+    drho = jnp.sum(riemann.dissipative_u_jump(p[:, None] - p_in_wall) * dWV,
+                   axis=1) * rho
+    return force, drho
+
+
+def acoustic_2nd_half_wall_adaptive(fluid: State, vel, rho, pos, wall: State,
+                                    nl_w: NeighborList, kernel, dim: int,
+                                    riemann, box=None):
+    """(force, drho_dt) wall contributions for the adaptive 2nd half
+    (fluid_integration.hpp:205-231)."""
+    hr = fluid["SmoothingLengthRatio"]
+    r, e, dW, _, vol_j, mask = _wall_pair(pos, hr, wall, nl_w, kernel, dim,
+                                          box)
+    vel_ave, _ = gather(wall["AverageVelocity"], nl_w.idx)
+    n_k, _ = gather(wall["NormalDirection"], nl_w.idx)
+    dWV = dW * vol_j
+    e_dot_n = jnp.sum(e * n_k, axis=-1)
+    face_n = jnp.sign(e_dot_n)[..., None] * n_k
+    vel_in_wall = 2.0 * vel_ave - vel[:, None, :]
+    dcr = jnp.sum(jnp.sum((vel[:, None, :] - vel_in_wall) * e, axis=-1)
+                  * dWV, axis=1) * rho
+    u_jump = 2.0 * jnp.sum((vel[:, None, :] - vel_ave) * face_n, axis=-1)
+    force = jnp.sum((riemann.dissipative_p_jump(u_jump) * dWV)[..., None]
+                    * face_n, axis=1)
+    return force, dcr
+
+
+def viscous_wall_adaptive(fluid: State, wall: State, nl_w: NeighborList,
+                          kernel, dim: int, mu: float, h_ref: float,
+                          box=None):
+    """Wall shear for the adaptive viscous force (doubled jump against the
+    averaged wall velocity)."""
+    hr = fluid["SmoothingLengthRatio"]
+    r, e, dW, hr_pair, vol_j, mask = _wall_pair(fluid["Position"], hr, wall,
+                                                nl_w, kernel, dim, box)
+    vel_ave, _ = gather(wall["AverageVelocity"], nl_w.idx)
+    h_pair = h_ref / jnp.maximum(hr_pair, TINY)
+    vderiv = 2.0 * (fluid["Velocity"][:, None, :] - vel_ave) \
+        / (r + 0.01 * h_pair)[..., None]
+    return 2.0 * mu * jnp.sum(vderiv * (dW * vol_j)[..., None], axis=1)
