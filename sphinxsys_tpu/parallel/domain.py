@@ -1,6 +1,6 @@
 """Case-agnostic domain decomposition: slab sharding + halo exchange.
 
-Generalizes parallel/halo.py's dambreak-only prototype (VERDICT r1 weak
+Generalizes the round-1 dambreak-only halo prototype (VERDICT r1 weak
 #6) into an API any particle case can use.  The reference has no
 distributed backend at all (SURVEY.md §2.1); this is the net-new TPU
 scale-out design:

@@ -96,15 +96,65 @@ class PhaseTimer:
         return "\n".join(lines)
 
 
+class ProfilerTrace:
+    """jax.profiler trace hook (SURVEY.md §5 tracing/profiling): wraps a
+    run region in jax.profiler.start_trace/stop_trace, writing a
+    TensorBoard-loadable XPlane trace; annotate() tags host phases so the
+    device timeline can be segmented per solver phase."""
+
+    def __init__(self, trace_dir: str):
+        self.trace_dir = trace_dir
+        self._active = False
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.trace_dir)
+        self._active = True
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    @staticmethod
+    def annotate(name: str):
+        import jax
+
+        return jax.profiler.TraceAnnotation(name)
+
+
 def run_simulation(run_chunk, sim, end_time: float, output_interval: float,
                    on_output: Callable | None = None,
-                   check_overflow: bool = True, verbose: bool = True):
+                   check_overflow: bool = True, verbose: bool = True,
+                   failure_check: Callable | None = None,
+                   trace_dir: str | None = None):
     """Drive a jitted run_chunk to end_time, firing `on_output(sim)` every
     output interval — the standard main-loop shape of every reference case
-    (SURVEY.md §3.2/§3.3).  Returns (sim, PhaseTimer)."""
+    (SURVEY.md §3.2/§3.3).  Returns (sim, PhaseTimer).
+
+    `failure_check(sim) -> bool`: fired every output interval; a True
+    return aborts with the state dumped (io/failure.py's velocity-bound
+    check is the canonical one, io_vtk.h:116-134).
+    `trace_dir`: write a jax.profiler device trace of the whole run.
+    """
+    import contextlib
+
     import jax.numpy as jnp
 
     timer = PhaseTimer()
+    trace_ctx = ProfilerTrace(trace_dir) if trace_dir else contextlib.nullcontext()
+    with trace_ctx:
+        return _run_simulation_body(
+            run_chunk, sim, end_time, output_interval, on_output,
+            check_overflow, verbose, failure_check, timer, jnp)
+
+
+def _run_simulation_body(run_chunk, sim, end_time, output_interval, on_output,
+                         check_overflow, verbose, failure_check, timer, jnp):
     t = float(sim.time)
     n_out = int(t / output_interval)
     while t < end_time - 1e-12:
@@ -116,6 +166,9 @@ def run_simulation(run_chunk, sim, end_time: float, output_interval: float,
         if check_overflow and bool(sim.overflow):
             raise RuntimeError(
                 "neighbor/block capacity overflow — raise k_max/cap/c_max")
+        if failure_check is not None and failure_check(sim):
+            raise RuntimeError(
+                f"failure check fired at t = {t:.6f}; state dumped")
         with timer.phase("output"):
             if on_output is not None:
                 on_output(sim)

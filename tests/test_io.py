@@ -237,3 +237,26 @@ def test_vector_result_xml_roundtrip(tmp_path):
     rg.write_result_xml(path, data)
     back = rg.read_result_xml(path)
     np.testing.assert_allclose(back, data, rtol=0, atol=0)
+
+
+def test_velocity_out_of_bound_dump(tmp_path):
+    """WriteToVtpIfVelocityOutOfBound (io_vtk.h:116-134): no dump within
+    bound; dump every body on first violation."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sphinxsys_tpu.io.failure import WriteToVtpIfVelocityOutOfBound
+
+    body = {"Position": jnp.zeros((4, 2)), "Velocity": jnp.zeros((4, 2)),
+            "NReal": jnp.asarray(4)}
+    check = WriteToVtpIfVelocityOutOfBound(str(tmp_path), bound=5.0,
+                                           variables=("Velocity",))
+    assert not check({"WaterBody": body}, time=0.1)
+    bad = dict(body)
+    bad["Velocity"] = jnp.asarray(np.array([[0, 0], [6.0, 0], [0, 0], [0, 0]]))
+    assert check({"WaterBody": bad}, time=0.2)
+    dumps = list(tmp_path.glob("WaterBody_velocity_out_of_bound_*.vtp"))
+    assert len(dumps) == 1
+    # idempotent after failure: no second dump
+    assert check({"WaterBody": bad}, time=0.3)
+    assert len(list(tmp_path.glob("*.vtp"))) == 1
