@@ -1,0 +1,133 @@
+"""2D Taylor-Green vortex on the cell-block engine (TPU hot path).
+
+Same scene, constants and loop as cases/taylor_green_2d.py (reference:
+tests/2d_examples/test_2d_taylor_green/taylor_green.cpp), but the fluid
+state lives in occupied-cell block layout via the case-agnostic engine
+(engine/block_fluid.py) — the first viscous + transport-velocity-corrected
++ doubly-periodic case on the fast path (VERDICT r2 item 1).
+
+Periodicity notes: window maps wrap modulo the grid (cell_blocks), pair
+displacements use minimum image, and the Pallas path disables the
+sorted-order y-roll shortcut (roll_y=False) because the y axis wraps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sphinxsys_tpu.cases import taylor_green_2d as tg
+from sphinxsys_tpu.engine import block_fluid as eng_mod
+from sphinxsys_tpu.engine.block_fluid import BlockEngine
+from sphinxsys_tpu.neighbors.cell_list import wrap_positions
+from sphinxsys_tpu.physics import riemann as rs
+
+
+class BlockSim(NamedTuple):
+    fluid_b: Any
+    nbr_inner: Any
+    time: jnp.ndarray
+    n_adv: jnp.ndarray
+    n_ac: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockCase:
+    base: tg.TaylorGreenCase
+    eng: BlockEngine
+
+
+def build_case(dx: float = 0.01, dtype=jnp.float32, cap: int = 12,
+               c_max: int | None = None, use_pallas: bool = False,
+               pallas_interpret: bool = False, tile_c: int = 256,
+               relax_ic: int = 0):
+    base, fluid = tg.build_case(dx=dx, dtype=dtype, relax_ic=relax_ic)
+    # the periodic box is fully occupied: every cell holds particles
+    c_max = eng_mod.round_to(c_max or base.grid.ncells, tile_c)
+    eng = BlockEngine(
+        grid=base.grid, kernel=base.kernel, eos=base.eos,
+        riemann1=base.riemann, riemann2=base.no_riemann,
+        rho0=tg.RHO0_F, sigma0=base.adaptation.sigma0, h=base.adaptation.h,
+        speed_ref=tg.U_F, dim=2, mu=tg.MU_F, tvc_coef=0.2, tvc_limiter=100.0,
+        free_surface=False, cap=cap, c_max=c_max, tile_c=tile_c,
+        use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+        cap_ac_dt=True)
+    return BlockCase(base=base, eng=eng), fluid
+
+
+def _slot(case: BlockCase, flat: dict, valid):
+    flat = dict(flat)
+    flat["Position"] = wrap_positions(flat["Position"], case.eng.grid)
+    fb, bm = eng_mod.slot_fluid(case.eng, flat, valid)
+    return fb, bm.nbr_block, bm.overflow, bm.n_occ
+
+
+def init_sim(case: BlockCase, fluid: dict) -> BlockSim:
+    n = fluid["Position"].shape[0]
+    flat = {k: fluid[k] for k in eng_mod.FLUID_FIELDS}
+    flat["ViscousForcePrev"] = jnp.zeros_like(fluid["Velocity"])
+    flat["OriginalID"] = jnp.arange(n, dtype=jnp.int32)
+    valid = jnp.arange(n) < fluid["NReal"]
+
+    fb, nbr_inner, ovf, _ = jax.jit(lambda: _slot(case, flat, valid))()
+    dtype = fluid["Position"].dtype
+    return BlockSim(fluid_b=fb, nbr_inner=nbr_inner,
+                    time=jnp.zeros((), dtype), n_adv=jnp.zeros((), jnp.int32),
+                    n_ac=jnp.zeros((), jnp.int32), overflow=ovf)
+
+
+def _advection_step(case: BlockCase, s: BlockSim) -> BlockSim:
+    eng = case.eng
+    fb = s.fluid_b
+    n_occ = jnp.sum(jnp.any(fb["SlotMask"][:-1], axis=1).astype(jnp.int32))
+    wc = eng_mod.null_wall_ctx(eng, n_occ=n_occ)
+
+    dt_adv = eng_mod.advection_dt(eng, fb)
+    fb = eng_mod.advection_prep(eng, fb, s.nbr_inner, wc)
+
+    def ac_cond(carry):
+        _, rt, _ = carry
+        return rt < dt_adv
+
+    def ac_body(carry):
+        f, rt, k = carry
+        dt = eng_mod.acoustic_dt(eng, f, dt_adv)
+        f = eng_mod.acoustic_step(eng, f, s.nbr_inner, wc, dt)
+        return (f, rt + dt, k + 1)
+
+    fb, relax_t, n_ac = jax.lax.while_loop(
+        ac_cond, ac_body, (fb, jnp.zeros_like(dt_adv), jnp.zeros((), jnp.int32)))
+
+    flat = {k: fb[k].reshape((-1,) + fb[k].shape[2:])
+            for k in eng.fluid_fields + ("OriginalID",)}
+    valid = fb["SlotMask"].reshape(-1)
+    fb2, nbr_inner, ovf, _ = _slot(case, flat, valid)
+
+    return BlockSim(fluid_b=fb2, nbr_inner=nbr_inner, time=s.time + relax_t,
+                    n_adv=s.n_adv + 1, n_ac=s.n_ac + n_ac,
+                    overflow=s.overflow | ovf)
+
+
+def make_run_chunk(case: BlockCase):
+    @jax.jit
+    def run_chunk(s: BlockSim, t_target) -> BlockSim:
+        return jax.lax.while_loop(lambda st: st.time < t_target,
+                                  lambda st: _advection_step(case, st), s)
+
+    return run_chunk
+
+
+def make_advection_step(case: BlockCase):
+    @jax.jit
+    def step(s: BlockSim) -> BlockSim:
+        return _advection_step(case, s)
+
+    return step
+
+
+def blocks_to_particles(case: BlockCase, s: BlockSim, n: int) -> dict:
+    return eng_mod.blocks_to_particles(case.eng, s.fluid_b, n)

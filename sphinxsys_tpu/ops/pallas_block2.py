@@ -71,8 +71,26 @@ def _wendland_dwv(dx, dy, vol_j, inv_h, factor_w):
     return dwv, inv_r, r
 
 
+def _make_wrap(box_x: float, box_y: float):
+    """Static minimum-image wrapper for periodic axes (box length 0 = not
+    periodic; the Python branches vanish at trace time).  Padding safety
+    under wrap: periodic engines must park padding with VOL = 0 (every
+    pair term is proportional to dW*V_j) and pass a mask channel to the
+    pure-W density sweep — FAR-parked positions alone are not enough,
+    because the wrap can fold them back into range."""
+    def wrap(dx, dy):
+        if box_x > 0.0:
+            dx = dx - box_x * jnp.round(dx * (1.0 / box_x))
+        if box_y > 0.0:
+            dy = dy - box_y * jnp.round(dy * (1.0 / box_y))
+        return dx, dy
+
+    return wrap
+
+
 def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, fx_ref, fy_ref, rd_ref, *,
-                inv_h, factor_w, inv_rho0c0):
+                inv_h, factor_w, inv_rho0c0, box_x=0.0, box_y=0.0):
+    wrap = _make_wrap(box_x, box_y)
     t = xi_ref.shape[-1]
     cap = xi_ref.shape[-2]          # slots per cell (configurable, def. 16)
     capj = xj_ref.shape[-2]
@@ -92,8 +110,7 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, fx_ref, fy_ref, rd_ref, *,
         rda = jnp.zeros((cap, capj, t), jnp.float32)
         for w in range(NW):
             xj = xj_ref[w]                 # (4, CAP, T)
-            dx = x_i - xj[J1X][None]
-            dy = y_i - xj[J1Y][None]
+            dx, dy = wrap(x_i - xj[J1X][None], y_i - xj[J1Y][None])
             dwv, inv_r, _ = _wendland_dwv(dx, dy, xj[J1VOL][None], inv_h,
                                           factor_w)
             p_j = xj[J1P][None]
@@ -121,8 +138,7 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, fx_ref, fy_ref, rd_ref, *,
         rdw = jnp.zeros((cap, t), jnp.float32)
         for w in range(NW):
             wj = wj_ref[w]                 # (9, CAP, T)
-            dx = x_i - wj[WX][None]
-            dy = y_i - wj[WY][None]
+            dx, dy = wrap(x_i - wj[WX][None], y_i - wj[WY][None])
             dwv, inv_r, r = _wendland_dwv(dx, dy, wj[WVOL][None], inv_h,
                                           factor_w)
             ex = dx * inv_r
@@ -140,7 +156,9 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, fx_ref, fy_ref, rd_ref, *,
 
 
 def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, fx_ref, fy_ref, *,
-                inv_h, factor_w, rho0c0_geo, inv_c0, limiter_coeff):
+                inv_h, factor_w, rho0c0_geo, inv_c0, limiter_coeff,
+                box_x=0.0, box_y=0.0):
+    wrap = _make_wrap(box_x, box_y)
     t = xi_ref.shape[-1]
     cap = xi_ref.shape[-2]
     capj = xj_ref.shape[-2]
@@ -160,8 +178,7 @@ def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, fx_ref, fy_ref, *,
         fya = jnp.zeros((cap, capj, t), jnp.float32)
         for w in range(NW):
             xj = xj_ref[w]                 # (5, CAP, T)
-            dx = x_i - xj[J2X][None]
-            dy = y_i - xj[J2Y][None]
+            dx, dy = wrap(x_i - xj[J2X][None], y_i - xj[J2Y][None])
             dwv, inv_r, _ = _wendland_dwv(dx, dy, xj[J2VOL][None], inv_h,
                                           factor_w)
             ex = dx * inv_r
@@ -191,8 +208,7 @@ def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, fx_ref, fy_ref, *,
         fyw = jnp.zeros((cap, t), jnp.float32)
         for w in range(NW):
             wj = wj_ref[w]
-            dx = x_i - wj[WX][None]
-            dy = y_i - wj[WY][None]
+            dx, dy = wrap(x_i - wj[WX][None], y_i - wj[WY][None])
             dwv, inv_r, _ = _wendland_dwv(dx, dy, wj[WVOL][None], inv_h,
                                           factor_w)
             ex = dx * inv_r
@@ -248,26 +264,117 @@ def _call(kern, xi_t, xj_t, wj_t, wflag, n_out, tile_c, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("inv_h", "factor_w",
                                              "inv_rho0c0", "tile_c",
-                                             "interpret"))
+                                             "interpret", "box_x", "box_y"))
 def ac1_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
-                inv_rho0c0: float, tile_c: int = 256, interpret: bool = False):
+                inv_rho0c0: float, tile_c: int = 256, interpret: bool = False,
+                box_x: float = 0.0, box_y: float = 0.0):
     """Fused 1st-half inner+wall sweep.  Returns (fx, fy, rd), (cap, C)."""
     kern = functools.partial(_ac1_kernel, inv_h=inv_h, factor_w=factor_w,
-                             inv_rho0c0=inv_rho0c0)
+                             inv_rho0c0=inv_rho0c0, box_x=box_x, box_y=box_y)
     return _call(kern, xi_t, xj_t, wj_t, wflag, 3, tile_c, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("inv_h", "factor_w", "rho0c0_geo",
                                              "inv_c0", "limiter_coeff",
-                                             "tile_c", "interpret"))
+                                             "tile_c", "interpret",
+                                             "box_x", "box_y"))
 def ac2_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
                 rho0c0_geo: float, inv_c0: float, limiter_coeff: float,
-                tile_c: int = 256, interpret: bool = False):
+                tile_c: int = 256, interpret: bool = False,
+                box_x: float = 0.0, box_y: float = 0.0):
     """Fused 2nd-half inner+wall sweep.  Returns (dcr, fx, fy), (CAP, C)."""
     kern = functools.partial(_ac2_kernel, inv_h=inv_h, factor_w=factor_w,
                              rho0c0_geo=rho0c0_geo, inv_c0=inv_c0,
-                             limiter_coeff=limiter_coeff)
+                             limiter_coeff=limiter_coeff, box_x=box_x,
+                             box_y=box_y)
     return _call(kern, xi_t, xj_t, wj_t, wflag, 3, tile_c, interpret)
+
+
+def _visctvc_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, fvx_ref, fvy_ref,
+                    ix_ref, iy_ref, *, inv_h, factor_w, eps_r,
+                    box_x=0.0, box_y=0.0):
+    """Fused viscous-force + transport-velocity-correction sweep.
+
+    Both read the SAME j data ([x, y, vx, vy, vol], the ac2 layout), so one
+    window pass produces both (viscous_dynamics.hpp Newtonian inner+wall and
+    transport_velocity_correction.hpp:37-67):
+      fv_i = sum_w sum_j (v_i - v_j) / (r + eps_r) dW V_j      (x 2mu outside;
+             wall jump doubled against the averaged wall velocity)
+      I_i  = -sum_w sum_j 2 dW V_j e_ij                        (+ wall term)
+    """
+    wrap = _make_wrap(box_x, box_y)
+    t = xi_ref.shape[-1]
+    cap = xi_ref.shape[-2]
+    capj = xj_ref.shape[-2]
+    fvx_ref[...] = jnp.zeros((cap, t), jnp.float32)
+    fvy_ref[...] = jnp.zeros((cap, t), jnp.float32)
+    ix_ref[...] = jnp.zeros((cap, t), jnp.float32)
+    iy_ref[...] = jnp.zeros((cap, t), jnp.float32)
+
+    @pl.when(wflag_ref[pl.program_id(0)] >= 0)
+    def _():
+        xi = xi_ref[...]                   # (4, CAP, T)
+        x_i = xi[I2X][:, None, :]
+        y_i = xi[I2Y][:, None, :]
+        vx_i = xi[I2VX][:, None, :]
+        vy_i = xi[I2VY][:, None, :]
+        fvxa = jnp.zeros((cap, capj, t), jnp.float32)
+        fvya = jnp.zeros((cap, capj, t), jnp.float32)
+        ixa = jnp.zeros((cap, capj, t), jnp.float32)
+        iya = jnp.zeros((cap, capj, t), jnp.float32)
+        for w in range(NW):
+            xj = xj_ref[w]                 # (5, CAP, T)
+            dx, dy = wrap(x_i - xj[J2X][None], y_i - xj[J2Y][None])
+            dwv, inv_r, r = _wendland_dwv(dx, dy, xj[J2VOL][None], inv_h,
+                                          factor_w)
+            scale = dwv / (r + eps_r)
+            fvxa = fvxa + (vx_i - xj[J2VX][None]) * scale
+            fvya = fvya + (vy_i - xj[J2VY][None]) * scale
+            ixa = ixa - (2.0 * dwv * inv_r) * dx
+            iya = iya - (2.0 * dwv * inv_r) * dy
+        fvx_ref[...] = jnp.sum(fvxa, axis=1)
+        fvy_ref[...] = jnp.sum(fvya, axis=1)
+        ix_ref[...] = jnp.sum(ixa, axis=1)
+        iy_ref[...] = jnp.sum(iya, axis=1)
+
+    @pl.when(wflag_ref[pl.program_id(0)] > 0)
+    def _():
+        xi = xi_ref[...]
+        x_i = xi[I2X][:, None, :]
+        y_i = xi[I2Y][:, None, :]
+        vx_i = xi[I2VX][:, None, :]
+        vy_i = xi[I2VY][:, None, :]
+        fvxw = jnp.zeros((cap, t), jnp.float32)
+        fvyw = jnp.zeros((cap, t), jnp.float32)
+        ixw = jnp.zeros((cap, t), jnp.float32)
+        iyw = jnp.zeros((cap, t), jnp.float32)
+        for w in range(NW):
+            wj = wj_ref[w]
+            dx, dy = wrap(x_i - wj[WX][None], y_i - wj[WY][None])
+            dwv, inv_r, r = _wendland_dwv(dx, dy, wj[WVOL][None], inv_h,
+                                          factor_w)
+            scale = 2.0 * dwv / (r + eps_r)
+            fvxw = fvxw + jnp.sum((vx_i - wj[WVAX][None]) * scale, axis=1)
+            fvyw = fvyw + jnp.sum((vy_i - wj[WVAY][None]) * scale, axis=1)
+            ixw = ixw - jnp.sum((2.0 * dwv * inv_r) * dx, axis=1)
+            iyw = iyw - jnp.sum((2.0 * dwv * inv_r) * dy, axis=1)
+        fvx_ref[...] += fvxw
+        fvy_ref[...] += fvyw
+        ix_ref[...] += ixw
+        iy_ref[...] += iyw
+
+
+@functools.partial(jax.jit, static_argnames=("inv_h", "factor_w", "eps_r",
+                                             "tile_c", "interpret",
+                                             "box_x", "box_y"))
+def visc_tvc_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
+                     eps_r: float, tile_c: int = 256, interpret: bool = False,
+                     box_x: float = 0.0, box_y: float = 0.0):
+    """Fused viscous + TVC inner+wall sweep.  xi_t: (4, CAP, C) [x,y,vx,vy];
+    xj_t: (NW, 5, CAP, C) [x,y,vx,vy,vol].  Returns (fvx, fvy, ix, iy)."""
+    kern = functools.partial(_visctvc_kernel, inv_h=inv_h, factor_w=factor_w,
+                             eps_r=eps_r, box_x=box_x, box_y=box_y)
+    return _call(kern, xi_t, xj_t, wj_t, wflag, 4, tile_c, interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -294,12 +401,15 @@ def wall_flags(nbr_wall, c_max_wall: int, tile_c: int = 256, n_occ=None):
 
 
 def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
-                 inv_h, factor_w):
+                 inv_h, factor_w, box_x=0.0, box_y=0.0):
     """Density-summation sweep.  Two outputs:
-      sig  = sum_w sum_j W_ij over fluid windows (the self pair contributes
-             exactly W(0) = w0, replacing the explicit w0 seed of
-             density_summation.cpp:40-45)
+      sig  = sum_w sum_j W_ij m_j over fluid windows, with m the 0/1 slot
+             mask channel (the self pair contributes exactly W(0) = w0,
+             replacing the explicit w0 seed of density_summation.cpp:40-45;
+             the mask channel — not just FAR parking — keeps padding out
+             of this pure-W sum under periodic wrap)
       sigw = sum_w sum_k W V_k over wall windows (m_k / rho0_k = V_k)."""
+    wrap = _make_wrap(box_x, box_y)
     xi = xi_ref[...]                       # (2, CAP, T)
     t = xi.shape[-1]
     cap = xi.shape[-2]
@@ -315,8 +425,9 @@ def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
         return factor_w * (1.0 - 0.5 * qc) ** 4 * (2.0 * qc + 1.0)
 
     for w in range(NW):
-        xj = xj_ref[w]                     # (2, CAP, T)
-        sig = sig + jnp.sum(w_of(x_i - xj[0][None], y_i - xj[1][None]), axis=1)
+        xj = xj_ref[w]                     # (3, CAP, T) [x, y, mask]
+        dx, dy = wrap(x_i - xj[0][None], y_i - xj[1][None])
+        sig = sig + jnp.sum(w_of(dx, dy) * xj[2][None], axis=1)
     sig_ref[...] = sig
     sigw_ref[...] = jnp.zeros((cap, t), jnp.float32)
 
@@ -325,18 +436,21 @@ def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
         sigw = jnp.zeros((cap, t), jnp.float32)
         for w in range(NW):
             wj = wj_ref[w]
-            W = w_of(x_i - wj[WX][None], y_i - wj[WY][None])
+            dx, dy = wrap(x_i - wj[WX][None], y_i - wj[WY][None])
+            W = w_of(dx, dy)
             sigw = sigw + jnp.sum(W * wj[WVOL][None], axis=1)
         sigw_ref[...] = sigw
 
 
 @functools.partial(jax.jit, static_argnames=("inv_h", "factor_w", "tile_c",
-                                             "interpret"))
+                                             "interpret", "box_x", "box_y"))
 def density_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
-                    tile_c: int = 256, interpret: bool = False):
+                    tile_c: int = 256, interpret: bool = False,
+                    box_x: float = 0.0, box_y: float = 0.0):
     """Fused density-summation sweep.  xi_t: (2, CAP, C) positions;
-    xj_t: (NW, 2, CAP, C); wj_t: the shared wall tensor.  Returns
-    (sig (CAP, C), sigw (CAP, C)): the fluid W-sum (self pair included =
-    the w0 seed) and the wall W*V-sum."""
-    kern = functools.partial(_dens_kernel, inv_h=inv_h, factor_w=factor_w)
+    xj_t: (NW, 3, CAP, C) [x, y, slot-mask]; wj_t: the shared wall tensor.
+    Returns (sig (CAP, C), sigw (CAP, C)): the fluid W*mask-sum (self pair
+    included = the w0 seed) and the wall W*V-sum."""
+    kern = functools.partial(_dens_kernel, inv_h=inv_h, factor_w=factor_w,
+                             box_x=box_x, box_y=box_y)
     return _call(kern, xi_t, xj_t, wj_t, wflag, 2, tile_c, interpret)

@@ -456,45 +456,61 @@ def pack_wall_t(wall_b, nbr_wall, c_max_wall: int, tile_c: int = 256,
 
 
 
-def _window_jt(packed_j, nbr, c):
+def _window_jt(packed_j, nbr, c, roll_y: bool = True):
     """(C+1, CAP, CH) + (C, 9) -> (9, CH, CAP, C) window stack in the
-    transposed kernel layout.  The three same-column windows are PURE
-    SHIFTS of the sorted block order (cells sort by cx*GY+cy, so cell
-    cy+-1, when occupied, is exactly the adjacent row): windows 3/4/5
-    ((0,-1)/(0,0)/(0,+1)) use roll/select instead of gathers — 4 of 9
-    window transfers become contiguous copies."""
-    ch = packed_j.shape[-1]
+    transposed kernel layout.  With `roll_y` (the default), the three
+    same-column windows are PURE SHIFTS of the sorted block order (cells
+    sort by cx*GY+cy, so cell cy+-1, when occupied, is exactly the
+    adjacent row): windows 3/4/5 ((0,-1)/(0,0)/(0,+1)) use roll/select
+    instead of gathers — 4 of 9 window transfers become contiguous copies.
+    Pass roll_y=False on grids PERIODIC along the last axis (a y-wrap
+    neighbor is not the adjacent row; those windows fall back to gathers)."""
     base = packed_j[:c].transpose(2, 1, 0)            # (CH, CAP, C)
-    fill = jnp.zeros_like(base)
-    fill = fill.at[:2].set(1.0e16)                    # park positions FAR
-    rolled_m = jnp.concatenate([fill[..., :1], base[..., :-1]], axis=-1)
-    rolled_p = jnp.concatenate([base[..., 1:], fill[..., :1]], axis=-1)
-    # exact adjacency check (cells sort by flattened id; cy+-1 when
-    # occupied is always the adjacent row on NON-PERIODIC grids — periodic
-    # wraps would need the gather, so this helper must not be used there)
-    ar = jnp.arange(nbr.shape[0], dtype=nbr.dtype)
-    valid_m = (nbr[:, 3] == ar - 1)[None, None, :]
-    valid_p = (nbr[:, 5] == ar + 1)[None, None, :]
     out = []
-    for w in range(9):
-        if w == 4:
-            out.append(base)
-        elif w == 3:
-            out.append(jnp.where(valid_m, rolled_m, fill))
-        elif w == 5:
-            out.append(jnp.where(valid_p, rolled_p, fill))
-        else:
-            out.append(packed_j[nbr[:, w]].transpose(2, 1, 0))
+    if roll_y:
+        fill = jnp.zeros_like(base)
+        fill = fill.at[:2].set(1.0e16)                # park positions FAR
+        rolled_m = jnp.concatenate([fill[..., :1], base[..., :-1]], axis=-1)
+        rolled_p = jnp.concatenate([base[..., 1:], fill[..., :1]], axis=-1)
+        # exact adjacency check (cells sort by flattened id; cy+-1 when
+        # occupied is always the adjacent row when y does not wrap)
+        ar = jnp.arange(nbr.shape[0], dtype=nbr.dtype)
+        valid_m = (nbr[:, 3] == ar - 1)[None, None, :]
+        valid_p = (nbr[:, 5] == ar + 1)[None, None, :]
+        for w in range(9):
+            if w == 4:
+                out.append(base)
+            elif w == 3:
+                out.append(jnp.where(valid_m, rolled_m, fill))
+            elif w == 5:
+                out.append(jnp.where(valid_p, rolled_p, fill))
+            else:
+                out.append(packed_j[nbr[:, w]].transpose(2, 1, 0))
+    else:
+        for w in range(9):
+            out.append(base if w == 4 else packed_j[nbr[:, w]].transpose(2, 1, 0))
     return jnp.stack(out, axis=0)
+
+
+def _box_xy(box):
+    """(box_x, box_y) static floats from a periodic-lengths tuple (0 = no
+    wrap).  Periodic Pallas engines must park padding with VOL = 0 — see
+    ops/pallas_block2._make_wrap."""
+    if box is None:
+        return 0.0, 0.0
+    return float(box[0]), float(box[1])
 
 
 def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
                               riemann, dt, tile_c: int = 256,
-                              interpret: bool = False):
-    """Pallas v2 variant of acoustic_step_1st_half_b (2D WendlandC2,
-    non-periodic — padding handled by FAR-parked positions)."""
+                              interpret: bool = False, box=None,
+                              roll_y: bool = True):
+    """Pallas v2 variant of acoustic_step_1st_half_b (2D WendlandC2).
+    Padding handled by FAR-parked positions (non-periodic) plus VOL = 0
+    fills (required under periodic wrap)."""
     from sphinxsys_tpu.ops import pallas_block2 as pb2
 
+    bx, by = _box_xy(box)
     out = dict(fb)
     mask = fb["SlotMask"]
     rho = jnp.where(mask, fb["Density"] + fb["DensityChangeRate"] * (0.5 * dt),
@@ -505,7 +521,7 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
     c = nbr_inner.shape[0]
 
     packed_j = jnp.concatenate([pos, p[..., None], vol[..., None]], axis=-1)
-    xj_t = _window_jt(packed_j, nbr_inner, c)
+    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y)
     acc_prior = fb["ForcePrior"] / jnp.maximum(fb["Mass"], TINY)[..., None]
     xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T, p[:c].T, rho[:c].T,
                       acc_prior[:c, :, 0].T, acc_prior[:c, :, 1].T], 0)
@@ -513,7 +529,7 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
     fx, fy, rd = pb2.ac1_sweep_t(
         xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
         factor_w=kernel._factor_w(2), inv_rho0c0=riemann.inv_rho0c0_ave,
-        tile_c=tile_c, interpret=interpret)
+        tile_c=tile_c, interpret=interpret, box_x=bx, box_y=by)
     force = jnp.stack([fx.T, fy.T], axis=-1)      # (C, CAP, 2)
     pad_v = fb["Force"][c:]
     force_total = fb["Force"] + jnp.concatenate(
@@ -531,12 +547,14 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
 
 def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
                               dt, tile_c: int = 256,
-                              interpret: bool = False):
+                              interpret: bool = False, box=None,
+                              roll_y: bool = True):
     """Pallas v2 variant of acoustic_step_2nd_half_b."""
     from sphinxsys_tpu.ops import pallas_block2 as pb2
     from sphinxsys_tpu.physics.riemann import (
         AcousticRiemannSolver, DissipativeRiemannSolver)
 
+    bx, by = _box_xy(box)
     out = dict(fb)
     mask = fb["SlotMask"]
     pos = fb["Position"] + jnp.where(mask[..., None], fb["Velocity"] * (0.5 * dt), 0.0)
@@ -546,7 +564,7 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
     c = nbr_inner.shape[0]
 
     packed_j = jnp.concatenate([pos, vel, vol[..., None]], axis=-1)
-    xj_t = _window_jt(packed_j, nbr_inner, c)
+    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y)
     xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T,
                       vel[:c, :, 0].T, vel[:c, :, 1].T], 0)
 
@@ -560,7 +578,7 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
         xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
         factor_w=kernel._factor_w(2), rho0c0_geo=geo,
         inv_c0=riemann.inv_c0_ave, limiter_coeff=limiter, tile_c=tile_c,
-        interpret=interpret)
+        interpret=interpret, box_x=bx, box_y=by)
 
     force = jnp.stack([fx.T, fy.T], axis=-1) * vol[:c][..., None]
     drho_dt = fb["DensityChangeRate"] + jnp.concatenate(
@@ -574,25 +592,30 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
 
 def density_summation_p2(fb, nbr_inner, wall_jt, wflags, kernel, rho0: float,
                          sigma0: float, tile_c: int = 256,
-                         interpret: bool = False, free_surface: bool = True):
+                         interpret: bool = False, free_surface: bool = True,
+                         box=None, roll_y: bool = True):
     """Pallas v2 variant of density_summation_b (inner + wall contact).
-    The FAR-parked padding and the W(0) self term make the sweep mask- and
-    seed-free; the wall's W*V sum is converted to the reference's
-    m_k/rho0_k weighting by the V = m/rho0 identity.
+    The slot-mask channel and the W(0) self term make the sweep seed-free;
+    the wall's W*V sum is converted to the reference's m_k/rho0_k
+    weighting by the V = m/rho0 identity.
 
     NOTE: sigma here mixes the inner SUM W and the wall SUM W V terms; the
     split matches density_summation_b's algebra exactly for equal-mass
     fluid particles (the dambreak/TG family)."""
     from sphinxsys_tpu.ops import pallas_block2 as pb2
 
+    bx, by = _box_xy(box)
     pos, mask = fb["Position"], fb["SlotMask"]
     c = nbr_inner.shape[0]
-    xj_t = _window_jt(pos, nbr_inner, c)              # positions only
+    packed_j = jnp.concatenate([pos, mask.astype(pos.dtype)[..., None]],
+                               axis=-1)               # [x, y, slot-mask]
+    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y)
     xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T], 0)
     sig, sigw = pb2.density_sweep_t(xi_t, xj_t, wall_jt, wflags,
                                     inv_h=1.0 / kernel.h,
                                     factor_w=kernel._factor_w(2),
-                                    tile_c=tile_c, interpret=interpret)
+                                    tile_c=tile_c, interpret=interpret,
+                                    box_x=bx, box_y=by)
     # density_summation_b: rho_sum = (w0 + sum W) rho0/sigma0
     #                      + [sum_k W m_k/rho0_k] rho0^2/(sigma0 m_i)
     # the kernel's fluid sum counts the self pair as exactly W(0) = w0, and
@@ -610,4 +633,154 @@ def density_summation_p2(fb, nbr_inner, wall_jt, wflags, kernel, rho0: float,
             fb["SlotMask"], fb["Mass"] / jnp.maximum(out["Density"], TINY),
             fb["VolumetricMeasure"])
     out["DensitySummation"] = jnp.concatenate([rho_sum, pad], axis=0)
+    return out
+
+
+def advection_viscous_time_step_b(fb, h_min: float, speed_ref: float,
+                                  rho0: float, mu: float, cfl: float = 0.25):
+    """AdvectionViscousTimeStep (block form): fold the viscous diffusion
+    speed into U_ref (fluid_time_step.cpp)."""
+    viscous_speed = mu / rho0 / h_min
+    return advection_time_step_b(fb, h_min, max(viscous_speed, speed_ref), cfl)
+
+
+# ---------------------------------------------------------------------------
+# viscous force + transport-velocity correction (block forms)
+# ---------------------------------------------------------------------------
+
+def viscous_force_b(fb, nbr_inner, kernel, dim: int, mu: float,
+                    smoothing_length: float, walls: Sequence[tuple] = (),
+                    box=None):
+    """Block twin of physics/fluid.viscous_force (viscous_dynamics.hpp):
+    F_i = 2 mu V_i sum_j (v_i - v_j)/(r + 0.01 h) dW V_j, wall jump doubled
+    against the averaged wall velocity; ForcePrior accumulation included.
+    `walls`: (wall_block_state, nbr_wall_windows) pairs."""
+    pos, vel, mask = fb["Position"], fb["Velocity"], fb["SlotMask"]
+    vol = fb["VolumetricMeasure"]
+    eps_r = 0.01 * smoothing_length
+    c = nbr_inner.shape[0]
+    n_w = len(_window_offsets(dim))
+
+    packed = pack_channels(pos, vel, vol)
+    force = jnp.zeros_like(vel[:c])
+    for w in range(n_w):
+        j = nbr_inner[:, w]
+        pj = packed[j]
+        r, e, m = _pair_geom(pos, mask, pj[..., :dim], mask[j], w, kernel,
+                             dim, box, True)
+        dWV = kernel.dW(r, dim) * m.astype(r.dtype) * pj[..., 2 * dim][:, None, :]
+        vel_j = pj[..., dim:2 * dim][:, None, :, :]
+        vderiv = (vel[:c, :, None, :] - vel_j) / (r + eps_r)[..., None]
+        force = force + jnp.sum(vderiv * dWV[..., None], axis=2)
+
+    for wall_b, nbr_wall in walls:
+        wpacked = pack_channels(wall_b["Position"], wall_b["VolumetricMeasure"],
+                                wall_b["AverageVelocity"])
+        for w in range(n_w):
+            j = nbr_wall[:, w]
+            pj = wpacked[j]
+            r, e, m = _pair_geom(pos, mask, pj[..., :dim], wall_b["SlotMask"][j],
+                                 w, kernel, dim, box, False)
+            dWV = kernel.dW(r, dim) * m.astype(r.dtype) * pj[..., dim][:, None, :]
+            vel_ave = pj[..., dim + 1:2 * dim + 1][:, None, :, :]
+            vderiv = 2.0 * (vel[:c, :, None, :] - vel_ave) / (r + eps_r)[..., None]
+            force = force + jnp.sum(vderiv * dWV[..., None], axis=2)
+
+    force = 2.0 * mu * force * vol[:c][..., None]
+    pad = jnp.zeros_like(vel[c:])
+    force_full = jnp.concatenate([force, pad], axis=0)
+    out = dict(fb)
+    prev = fb.get("ViscousForcePrev", jnp.zeros_like(force_full))
+    out["ForcePrior"] = fb["ForcePrior"] + force_full - prev
+    out["ViscousForcePrev"] = force_full
+    return out
+
+
+def transport_velocity_correction_b(fb, nbr_inner, kernel, dim: int,
+                                    h_ref: float, coefficient: float = 0.2,
+                                    limiter_slope: float | None = None,
+                                    walls: Sequence[tuple] = (), box=None):
+    """Block twin of physics/fluid.transport_velocity_correction
+    (transport_velocity_correction.hpp:37-67):
+        I_i  = -sum_j 2 dW V_j e_ij  (+ wall terms)
+        x_i += coef h^2 limiter(h^2 |I|^2) I_i."""
+    pos, mask = fb["Position"], fb["SlotMask"]
+    c = nbr_inner.shape[0]
+    n_w = len(_window_offsets(dim))
+
+    packed = pack_channels(pos, fb["VolumetricMeasure"])
+    incon = jnp.zeros_like(pos[:c])
+    for w in range(n_w):
+        j = nbr_inner[:, w]
+        pj = packed[j]
+        r, e, m = _pair_geom(pos, mask, pj[..., :dim], mask[j], w, kernel,
+                             dim, box, True)
+        dWV = kernel.dW(r, dim) * m.astype(r.dtype) * pj[..., dim][:, None, :]
+        incon = incon - jnp.sum((2.0 * dWV)[..., None] * e, axis=2)
+
+    for wall_b, nbr_wall in walls:
+        wpacked = pack_channels(wall_b["Position"], wall_b["VolumetricMeasure"])
+        for w in range(n_w):
+            j = nbr_wall[:, w]
+            pj = wpacked[j]
+            r, e, m = _pair_geom(pos, mask, pj[..., :dim], wall_b["SlotMask"][j],
+                                 w, kernel, dim, box, False)
+            dWV = kernel.dW(r, dim) * m.astype(r.dtype) * pj[..., dim][:, None, :]
+            incon = incon - jnp.sum((2.0 * dWV)[..., None] * e, axis=2)
+
+    h2 = h_ref * h_ref
+    if limiter_slope is not None:
+        sq = jnp.sum(incon ** 2, axis=-1)
+        lim = jnp.minimum(limiter_slope * h2 * sq, 1.0)[..., None]
+    else:
+        lim = 1.0
+    shift = coefficient * h2 * lim * incon
+    shift_full = jnp.concatenate([shift, jnp.zeros_like(pos[c:])], axis=0)
+    out = dict(fb)
+    out["Position"] = jnp.where(mask[..., None], pos + shift_full, pos)
+    return out
+
+
+def visc_tvc_p2(fb, nbr_inner, wall_jt, wflags, kernel, dim: int, mu: float,
+                smoothing_length: float, tvc_coefficient: float = 0.2,
+                tvc_limiter_slope: float | None = None, tile_c: int = 256,
+                interpret: bool = False, box=None, roll_y: bool = True,
+                do_viscous: bool = True, do_tvc: bool = True):
+    """Pallas v2 fused twin of viscous_force_b + transport_velocity_
+    correction_b (one window sweep computes both; ops/pallas_block2.py
+    visc_tvc_sweep_t).  Padding slots must carry VOL = 0."""
+    from sphinxsys_tpu.ops import pallas_block2 as pb2
+
+    bx, by = _box_xy(box)
+    pos, vel, mask = fb["Position"], fb["Velocity"], fb["SlotMask"]
+    vol = fb["VolumetricMeasure"]
+    c = nbr_inner.shape[0]
+
+    packed_j = jnp.concatenate([pos, vel, vol[..., None]], axis=-1)
+    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y)
+    xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T,
+                      vel[:c, :, 0].T, vel[:c, :, 1].T], 0)
+    fvx, fvy, ix, iy = pb2.visc_tvc_sweep_t(
+        xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
+        factor_w=kernel._factor_w(2), eps_r=0.01 * smoothing_length,
+        tile_c=tile_c, interpret=interpret, box_x=bx, box_y=by)
+
+    out = dict(fb)
+    if do_viscous:
+        force = 2.0 * mu * jnp.stack([fvx.T, fvy.T], -1) * vol[:c][..., None]
+        force_full = jnp.concatenate([force, jnp.zeros_like(vel[c:])], axis=0)
+        prev = fb.get("ViscousForcePrev", jnp.zeros_like(force_full))
+        out["ForcePrior"] = fb["ForcePrior"] + force_full - prev
+        out["ViscousForcePrev"] = force_full
+    if do_tvc:
+        incon = jnp.stack([ix.T, iy.T], -1)
+        h2 = smoothing_length * smoothing_length
+        if tvc_limiter_slope is not None:
+            sq = jnp.sum(incon ** 2, axis=-1)
+            lim = jnp.minimum(tvc_limiter_slope * h2 * sq, 1.0)[..., None]
+        else:
+            lim = 1.0
+        shift = tvc_coefficient * h2 * lim * incon
+        shift_full = jnp.concatenate([shift, jnp.zeros_like(pos[c:])], axis=0)
+        out["Position"] = jnp.where(mask[..., None], pos + shift_full, pos)
     return out

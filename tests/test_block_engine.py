@@ -1,0 +1,68 @@
+"""Generic block-engine tests (engine/block_fluid.py): the fast path must
+reproduce the gather engine on viscous + TVC + periodic cases, in both the
+XLA block form and the fused Pallas kernels (interpret mode on CPU)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _run_tg_gather(t_end, dx=0.025):
+    from sphinxsys_tpu.cases import taylor_green_2d as tg
+
+    case, fluid = tg.build_case(dx=dx)
+    s = tg.init_sim(case, fluid)
+    s = tg.make_run_chunk(case)(s, jnp.asarray(t_end, s.time.dtype))
+    return case, s
+
+
+def _run_tg_block(t_end, dx=0.025, **kw):
+    from sphinxsys_tpu.cases import taylor_green_2d_block as tgb
+
+    case, fluid = tgb.build_case(dx=dx, tile_c=32, **kw)
+    s = tgb.init_sim(case, fluid)
+    s = tgb.make_run_chunk(case)(s, jnp.asarray(t_end, s.time.dtype))
+    assert not bool(s.overflow)
+    return case, s, tgb.blocks_to_particles(case, s, case.base.n_fluid)
+
+
+def test_taylor_green_block_matches_gather_engine():
+    """Viscous + TVC + doubly-periodic on the block engine == gather engine
+    to fp32 roundoff (same math, different summation layout)."""
+    case_g, sg = _run_tg_gather(0.02)
+    case_b, sb, pb = _run_tg_block(0.02)
+    assert int(sg.n_ac) == int(sb.n_ac)
+    vg = np.asarray(sg.fluid["Velocity"])
+    vb = np.asarray(pb["Velocity"])
+    np.testing.assert_allclose(vg, vb, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sg.fluid["Position"]),
+                               np.asarray(pb["Position"]), atol=5e-5)
+
+
+def test_taylor_green_pallas_matches_block_engine():
+    """The periodic Pallas sweeps (min-image wrap + Vol=0 padding + mask-
+    channel density + fused viscous/TVC) == the XLA block path."""
+    _, sa, pa = _run_tg_block(0.02)
+    _, sb, pb = _run_tg_block(0.02, use_pallas=True, pallas_interpret=True)
+    assert int(sa.n_ac) == int(sb.n_ac)
+    np.testing.assert_allclose(np.asarray(pa["Velocity"]),
+                               np.asarray(pb["Velocity"]), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(pa["Density"]),
+                               np.asarray(pb["Density"]), atol=1e-4)
+
+
+def test_taylor_green_block_decay_tracks_analytic():
+    """Physics oracle on the fast path: kinetic energy decays like
+    exp(-16 pi^2 nu t) (velocity ~ exp(-8 pi^2 nu t))."""
+    from sphinxsys_tpu.cases import taylor_green_2d as tg
+
+    t_end = 0.1
+    _, s, p = _run_tg_block(t_end, dx=0.025)
+    nu = tg.MU_F / tg.RHO0_F
+    v = np.asarray(p["Velocity"])
+    ke = 0.5 * float(np.sum(np.asarray(p["Mass"]) * np.sum(v * v, axis=1)))
+    # initial KE of the lattice-sampled field
+    ke0 = 0.25 * tg.RHO0_F * tg.DL * tg.DH  # mean of cos^2*sin^2 sums = 1/2
+    expected = ke0 * math.exp(-16.0 * math.pi ** 2 * nu * float(s.time))
+    assert abs(ke - expected) / expected < 0.08
