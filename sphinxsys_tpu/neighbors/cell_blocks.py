@@ -258,18 +258,23 @@ def to_blocks_packed(bm: BlockMap, fields: dict, fills: dict | None = None):
     """
     fills = fills or {}
     n = next(iter(fields.values())).shape[0]
+    # packing container = the widest float dtype present (production is
+    # fp32; fp64 paths — x64 tests — must not silently downcast, and a
+    # mixed-width concatenate would promote under x64 and break the int
+    # bitcasts below)
+    fdtype = jnp.result_type(*[v.dtype for v in fields.values()
+                               if v.dtype != jnp.int32] or [jnp.float32])
+    idtype = jnp.int32 if fdtype == jnp.float32 else jnp.int64
+
+    def _to_container(v):
+        if v.dtype == jnp.int32:
+            return jax.lax.bitcast_convert_type(v.astype(idtype), fdtype)
+        return v.astype(fdtype)
+
     cols = []
-    layout = []  # (key, start, ncol, kind, shape_tail)
     for k, v in fields.items():
-        if v.ndim == 1:
-            cols.append(v[:, None] if v.dtype != jnp.int32 else
-                        jax.lax.bitcast_convert_type(v, jnp.float32)[:, None])
-            layout.append((k, len(cols) - 1, 1,
-                           "int" if v.dtype == jnp.int32 else "f", ()))
-        else:
-            cols.append(v.astype(jnp.float32) if v.dtype != jnp.int32 else
-                        jax.lax.bitcast_convert_type(v, jnp.float32))
-            layout.append((k, len(cols) - 1, v.shape[1], "f", v.shape[1:]))
+        c = _to_container(v)
+        cols.append(c[:, None] if v.ndim == 1 else c)
     packed = jnp.concatenate(cols, axis=-1)                 # (N, CH)
 
     safe = jnp.minimum(bm.slot_particle, n - 1)
@@ -284,10 +289,11 @@ def to_blocks_packed(bm: BlockMap, fields: dict, fills: dict | None = None):
         sub = rows[:, col0:col0 + ncol]
         fill = fills.get(k, 0.0)
         if v.dtype == jnp.int32:
-            sub = jax.lax.bitcast_convert_type(sub, jnp.int32)
+            sub = jax.lax.bitcast_convert_type(sub, idtype).astype(jnp.int32)
             sub = jnp.where(maskc, sub, jnp.asarray(fill, jnp.int32))
         else:
-            sub = jnp.where(maskc, sub, jnp.asarray(fill, v.dtype))
+            sub = jnp.where(maskc, sub.astype(v.dtype),
+                            jnp.asarray(fill, v.dtype))
         if v.ndim == 1:
             sub = sub[:, 0]
             sentinel = jnp.full((1, cap), fill, dtype=v.dtype)

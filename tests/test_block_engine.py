@@ -66,3 +66,56 @@ def test_taylor_green_block_decay_tracks_analytic():
     ke0 = 0.25 * tg.RHO0_F * tg.DL * tg.DH  # mean of cos^2*sin^2 sums = 1/2
     expected = ke0 * math.exp(-16.0 * math.pi ** 2 * nu * float(s.time))
     assert abs(ke - expected) / expected < 0.08
+
+
+def test_fsi2_block_matches_gather_engine():
+    """fsi2 (viscous + TVC + x-periodic + moving FSI wall-contact + solid
+    sub-cycling) on the block engine == gather engine.  Uses float64: the
+    two engines are formulation-identical but sum in different orders, and
+    the bluff-body shear flow amplifies fp32 roundoff chaotically (f64
+    keeps the gap ~1e-9 where f32 reaches 1e-3 by t=0.2)."""
+    from sphinxsys_tpu.cases import fsi2
+    from sphinxsys_tpu.cases import fsi2_block as f2b
+
+    t = 0.1
+    case_g, fl_g, so_g = fsi2.build_case(dx=0.1, dtype=jnp.float64)
+    sg = fsi2.init_sim(case_g, fl_g, so_g)
+    sg = fsi2.make_run_chunk(case_g)(sg, jnp.asarray(t, sg.time.dtype))
+
+    case_b, fl_b, so_b = f2b.build_case(dx=0.1, tile_c=32,
+                                        dtype=jnp.float64)
+    sb = f2b.init_sim(case_b, fl_b, so_b)
+    sb = f2b.make_run_chunk(case_b)(sb, jnp.asarray(t, sb.time.dtype))
+    assert not bool(sb.overflow)
+    assert int(sg.n_ac) == int(sb.n_ac) and int(sg.n_s) == int(sb.n_s)
+
+    pb = f2b.blocks_to_particles(case_b, sb)
+    np.testing.assert_allclose(np.asarray(sg.fluid["Velocity"]),
+                               np.asarray(pb["Velocity"]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sg.solid["Position"]),
+                               np.asarray(sb.solid["Position"]), atol=1e-9)
+
+
+def test_fsi2_pallas_matches_block_engine():
+    """The fused Pallas sweeps on fsi2 (x-periodic wrap + merged moving
+    wall body) == the XLA block path (fp32, short horizon)."""
+    from sphinxsys_tpu.cases import fsi2_block as f2b
+
+    t = 0.08
+    case_a, fl_a, so_a = f2b.build_case(dx=0.1, tile_c=32)
+    sa = f2b.init_sim(case_a, fl_a, so_a)
+    sa = f2b.make_run_chunk(case_a)(sa, jnp.asarray(t, sa.time.dtype))
+
+    case_b, fl_b, so_b = f2b.build_case(dx=0.1, tile_c=32, use_pallas=True,
+                                        pallas_interpret=True)
+    sb = f2b.init_sim(case_b, fl_b, so_b)
+    sb = f2b.make_run_chunk(case_b)(sb, jnp.asarray(t, sb.time.dtype))
+    assert not bool(sb.overflow)
+    assert int(sa.n_ac) == int(sb.n_ac)
+
+    pa = f2b.blocks_to_particles(case_a, sa)
+    pb = f2b.blocks_to_particles(case_b, sb)
+    np.testing.assert_allclose(np.asarray(pa["Velocity"]),
+                               np.asarray(pb["Velocity"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sa.solid["Position"]),
+                               np.asarray(sb.solid["Position"]), atol=1e-5)
