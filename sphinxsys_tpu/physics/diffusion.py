@@ -85,12 +85,64 @@ def diffusion_rate(pos_q, species_q, vol_s, pos_s, species_s, nl: NeighborList,
     return jnp.sum(d_ij * (species_q[:, None] - c_j) * area, axis=1)
 
 
+def _normal_area(pos_q, n_q, vol_s, pos_s, n_s, nl: NeighborList, kernel,
+                 dim: int, box=None):
+    """Boundary surface-area measure of Neumann/Robin contact pairs
+    (diffusion_dynamics.hpp:258-262,329-332):
+        area_ij = (dW_ij V_j) e_ij . (n_i - n_j)."""
+    pg = pair_geometry(pos_q, pos_s, nl, kernel, dim, need_W=False, box=box)
+    vol_j, _ = gather(vol_s, nl.idx)
+    n_j, _ = gather(n_s, nl.idx)
+    n_ij = n_q[:, None, :] - n_j
+    return (pg.dW * vol_j) * jnp.sum(pg.e * n_ij, axis=-1)
+
+
+def neumann_rate(state: State, species: str, contact_state: State,
+                 nl_c: NeighborList, kernel, dim: int, box=None):
+    """Neumann (prescribed diffusive flux) contact rate
+    (DiffusionRelaxation<Neumann<>>, diffusion_dynamics.hpp:233-265):
+        dC/dt_i += sum_j area_ij * flux_j
+    reading the boundary body's "<species>Flux" variable and both bodies'
+    NormalDirection."""
+    area = _normal_area(state["Position"], state["NormalDirection"],
+                        contact_state["VolumetricMeasure"],
+                        contact_state["Position"],
+                        contact_state["NormalDirection"], nl_c, kernel, dim,
+                        box)
+    flux_j, _ = gather(contact_state[species + "Flux"], nl_c.idx)
+    return jnp.sum(area * flux_j, axis=1)
+
+
+def robin_rate(state: State, species: str, contact_state: State,
+               nl_c: NeighborList, kernel, dim: int, c_infinity,
+               box=None):
+    """Robin (convective) contact rate (DiffusionRelaxation<Robin<>>,
+    diffusion_dynamics.hpp:296-337):
+        dC/dt_i += sum_j conv_j (C_inf - C_i) area_ij
+    with the per-boundary-particle convection coefficient
+    "<species>Convection" and the scalar far-field value `c_infinity`
+    ("<species>Infinity" single variable in the reference)."""
+    area = _normal_area(state["Position"], state["NormalDirection"],
+                        contact_state["VolumetricMeasure"],
+                        contact_state["Position"],
+                        contact_state["NormalDirection"], nl_c, kernel, dim,
+                        box)
+    conv_j, _ = gather(contact_state[species + "Convection"], nl_c.idx)
+    phi = c_infinity - state[species]
+    return jnp.sum(area * conv_j, axis=1) * phi
+
+
 def diffusion_step(state: State, species: str, nl_inner: NeighborList, kernel,
                    dim: int, diffusion, dt, dirichlet_contacts: Sequence[tuple] = (),
-                   box=None) -> State:
-    """One explicit Euler diffusion step; `dirichlet_contacts` is a sequence
-    of (contact_state, nl_contact) with fixed `species` values
-    (Dirichlet<...>, diffusion_dynamics.h:173-207)."""
+                   neumann_contacts: Sequence[tuple] = (),
+                   robin_contacts: Sequence[tuple] = (), box=None) -> State:
+    """One explicit Euler diffusion step.
+      dirichlet_contacts: (contact_state, nl_contact) with fixed `species`
+          values (Dirichlet<...>, diffusion_dynamics.h:173-207)
+      neumann_contacts: (contact_state, nl_contact) carrying
+          "<species>Flux" + NormalDirection (diffusion_dynamics.h:189-209)
+      robin_contacts: (contact_state, nl_contact, c_infinity) carrying
+          "<species>Convection" (diffusion_dynamics.h:212-231)."""
     pos = state["Position"]
     c = state[species]
     rate = diffusion_rate(pos, c, state["VolumetricMeasure"], pos, c, nl_inner,
@@ -99,6 +151,12 @@ def diffusion_step(state: State, species: str, nl_inner: NeighborList, kernel,
         rate = rate + diffusion_rate(pos, c, c_state["VolumetricMeasure"],
                                      c_state["Position"], c_state[species],
                                      nl_c, kernel, dim, diffusion, box)
+    for c_state, nl_c in neumann_contacts:
+        rate = rate + neumann_rate(state, species, c_state, nl_c, kernel,
+                                   dim, box)
+    for c_state, nl_c, c_inf in robin_contacts:
+        rate = rate + robin_rate(state, species, c_state, nl_c, kernel, dim,
+                                 c_inf, box)
     out = dict(state)
     out[species] = c + rate * dt
     return out
@@ -106,14 +164,18 @@ def diffusion_step(state: State, species: str, nl_inner: NeighborList, kernel,
 
 def diffusion_step_rk2(state: State, species: str, nl_inner: NeighborList,
                        kernel, dim: int, diffusion, dt,
-                       dirichlet_contacts: Sequence[tuple] = (), box=None) -> State:
+                       dirichlet_contacts: Sequence[tuple] = (), box=None,
+                       neumann_contacts: Sequence[tuple] = (),
+                       robin_contacts: Sequence[tuple] = ()) -> State:
     """Second-order Runge-Kutta: C_half via two Euler steps averaged with
     the initial value (DiffusionRelaxationRK2, diffusion_dynamics.h)."""
     c0 = state[species]
     s1 = diffusion_step(state, species, nl_inner, kernel, dim, diffusion, dt,
-                        dirichlet_contacts, box)
+                        dirichlet_contacts, neumann_contacts, robin_contacts,
+                        box)
     s2 = diffusion_step(s1, species, nl_inner, kernel, dim, diffusion, dt,
-                        dirichlet_contacts, box)
+                        dirichlet_contacts, neumann_contacts, robin_contacts,
+                        box)
     out = dict(s2)
     out[species] = 0.5 * (c0 + s2[species])
     return out
