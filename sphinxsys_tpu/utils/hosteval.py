@@ -21,7 +21,14 @@ def _cpu_device():
 
 
 def host_eval(fn, *args):
-    """Run `fn(*args)` jitted on the CPU backend; returns NumPy arrays."""
+    """Run `fn(*args)` jitted on the CPU backend; returns NumPy arrays.
+
+    NOTE: the jit must be pinned with backend="cpu" — a plain jit under a
+    `jax.default_device(cpu)` context still compiles through the default
+    platform, and with the remote axon TPU plugin registered that compile
+    round-trips the tunnel (measured 76 s vs 0.15 s for a trivial
+    shape.contains at 10k points)."""
+    args = tuple(np.asarray(a) if hasattr(a, "shape") else a for a in args)
     with jax.default_device(_cpu_device()):
-        out = jax.jit(fn)(*args)
+        out = jax.jit(fn, backend="cpu")(*args)
     return jax.tree_util.tree_map(np.asarray, out)
