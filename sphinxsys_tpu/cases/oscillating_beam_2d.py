@@ -63,6 +63,7 @@ class BeamCase:
     rp: sd.ReferencePairs
     base_mask: jnp.ndarray  # constrained particles
     n_solid: int
+    grid: Any = None        # background grid (slab decomposition domain)
 
     @property
     def kernel(self):
@@ -121,7 +122,7 @@ def build_case(dx: float | None = None, dtype=jnp.float32, k_inner: int = 64):
     solid["Velocity"] = jnp.asarray(vel, dtype=dtype)
 
     case = BeamCase(dx=dx, adaptation=adaptation, material=material, rp=rp,
-                    base_mask=base_mask, n_solid=len(pos))
+                    base_mask=base_mask, n_solid=len(pos), grid=grid)
     sim = BeamSim(solid=solid, time=jnp.zeros((), dtype),
                   n_steps=jnp.zeros((), jnp.int32), dt=jnp.zeros((), dtype))
     return case, sim

@@ -59,6 +59,12 @@ class SlabDecomposition:
     migrate_cap: int = 256
     halo_fields: Sequence[str] = ("Position", "Velocity", "Density",
                                   "DensityChangeRate", "VolumetricMeasure")
+    # Total-Lagrangian solids decompose over the REFERENCE configuration:
+    # particles never change owners and halo-band membership is static,
+    # keyed by `band_coord` (e.g. "InitialPosition") instead of the
+    # current position.
+    migrate: bool = True
+    band_coord: str = "Position"
 
     @property
     def lo(self) -> float:
@@ -98,7 +104,7 @@ def _compact_band(fields: dict, mask, cap: int):
     tgt = jnp.where(mask & (rank < cap), rank, cap)
     out = {}
     for k, v in fields.items():
-        fill = FAR if k == "Position" else 0.0
+        fill = FAR if k in ("Position", "InitialPosition") else 0.0
         band = jnp.full((cap + 1,) + v.shape[1:], fill, dtype=v.dtype)
         out[k] = band.at[tgt].set(v, mode="drop")[:cap]
     flag = jnp.zeros((cap + 1,), dtype=jnp.float32)
@@ -135,13 +141,18 @@ class HaloContext(NamedTuple):
 
 
 class HaloShard(NamedTuple):
-    """Sharded carry: dict of (n_dev * n_loc, ...) arrays + counters."""
+    """Sharded carry: dict of (n_dev * n_loc, ...) arrays + counters.
+
+    `aux` is a replicated pytree the physics closure threads through the
+    step (e.g. the elastic scheme's next-step dt, which the reference
+    computes AFTER each step — elastic_dynamics.cpp AcousticTimeStep)."""
 
     fluid: Any
     time: jnp.ndarray
     n_adv: jnp.ndarray
     n_ac: jnp.ndarray
     overflow: jnp.ndarray
+    aux: Any = ()
 
 
 def particle_fields(state: dict) -> list:
@@ -156,52 +167,59 @@ def make_distributed_step(decomp: SlabDecomposition, mesh: Mesh,
                           physics: Callable):
     """Build the jitted distributed advection step.
 
-    physics(ctx: HaloContext, comb: dict) -> (comb, relax_t, n_ac, overflow)
-      runs the case's whole advection-step physics on the combined
-      local+ghost state; local rows are [:ctx.n_loc].  Call ctx.refresh
-      after each sub-step that moves local rows.
+    physics(ctx: HaloContext, comb: dict, aux) -> (comb, aux, relax_t,
+      n_ac, overflow) runs the case's whole advection-step physics on the
+      combined local+ghost state; local rows are [:ctx.n_loc].  Call
+      ctx.refresh after each sub-step that moves local rows.  `aux` is a
+      replicated carry threaded between steps (return it unchanged if
+      unused).
     """
     n_dev = decomp.n_dev
     ax = decomp.axis
     periodic = decomp.periodic
     halo_cap = decomp.halo_cap
 
-    def local_step(fluid):
+    def local_step(fluid, aux):
         idx = jax.lax.axis_index(AXIS)
         my_lo = decomp.lo + decomp.slab_width * idx
         my_hi = my_lo + decomp.slab_width
         alive = fluid["Alive"]
         pos = fluid["Position"]
         exchange_fields = particle_fields(fluid)
-
-        # ---- 1. migration ----------------------------------------------
         right_edge = (idx == n_dev - 1)
         left_edge = (idx == 0)
-        go_right = alive & (pos[:, ax] >= my_hi) & (periodic | ~right_edge)
-        go_left = alive & (pos[:, ax] < my_lo) & (periodic | ~left_edge)
-        fields = {k: fluid[k] for k in exchange_fields}
-        if periodic:
-            # wrap the coordinate when crossing the domain ends
-            shift = jnp.where(go_right & right_edge, -decomp.length,
-                              jnp.where(go_left & left_edge, decomp.length, 0.0))
-            fields = dict(fields)
-            fields["Position"] = fields["Position"].at[:, ax].add(shift)
-        band_r, ovf_r = _compact_band(fields, go_right, decomp.migrate_cap)
-        band_l, ovf_l = _compact_band(fields, go_left, decomp.migrate_cap)
-        recv_l = {k: _perm_shift(v, n_dev, +1, periodic) for k, v in band_r.items()}
-        recv_r = {k: _perm_shift(v, n_dev, -1, periodic) for k, v in band_l.items()}
-        fluid = dict(fluid)
-        fluid["Alive"] = alive & ~(go_right | go_left)
-        fluid["Position"] = jnp.where((go_right | go_left)[:, None], FAR, pos)
-        fluid, movf_l = _merge_arrivals(fluid, recv_l, exchange_fields)
-        fluid, movf_r = _merge_arrivals(fluid, recv_r, exchange_fields)
-        mig_overflow = ovf_r | ovf_l | movf_l | movf_r
+
+        # ---- 1. migration (skipped for reference-configuration slabs) ---
+        if decomp.migrate:
+            go_right = alive & (pos[:, ax] >= my_hi) & (periodic | ~right_edge)
+            go_left = alive & (pos[:, ax] < my_lo) & (periodic | ~left_edge)
+            fields = {k: fluid[k] for k in exchange_fields}
+            if periodic:
+                # wrap the coordinate when crossing the domain ends
+                shift = jnp.where(go_right & right_edge, -decomp.length,
+                                  jnp.where(go_left & left_edge, decomp.length, 0.0))
+                fields = dict(fields)
+                fields["Position"] = fields["Position"].at[:, ax].add(shift)
+            band_r, ovf_r = _compact_band(fields, go_right, decomp.migrate_cap)
+            band_l, ovf_l = _compact_band(fields, go_left, decomp.migrate_cap)
+            recv_l = {k: _perm_shift(v, n_dev, +1, periodic) for k, v in band_r.items()}
+            recv_r = {k: _perm_shift(v, n_dev, -1, periodic) for k, v in band_l.items()}
+            fluid = dict(fluid)
+            fluid["Alive"] = alive & ~(go_right | go_left)
+            fluid["Position"] = jnp.where((go_right | go_left)[:, None], FAR, pos)
+            fluid, movf_l = _merge_arrivals(fluid, recv_l, exchange_fields)
+            fluid, movf_r = _merge_arrivals(fluid, recv_r, exchange_fields)
+            mig_overflow = ovf_r | ovf_l | movf_l | movf_r
+        else:
+            mig_overflow = jnp.zeros((), bool)
 
         # ---- 2. halo bands ----------------------------------------------
+        # membership by `band_coord` (static for total-Lagrangian solids)
         alive = fluid["Alive"]
         pos = fluid["Position"]
-        near_r = alive & (pos[:, ax] >= my_hi - decomp.cutoff)
-        near_l = alive & (pos[:, ax] < my_lo + decomp.cutoff)
+        bc = fluid[decomp.band_coord][:, ax]
+        near_r = alive & (bc >= my_hi - decomp.cutoff)
+        near_l = alive & (bc < my_lo + decomp.cutoff)
         halo_fields = [k for k in decomp.halo_fields if k in fluid]
 
         def exchange(fluid_now):
@@ -221,8 +239,10 @@ def make_distributed_step(decomp: SlabDecomposition, mesh: Mesh,
             gl = {k: _perm_shift(v, n_dev, +1, periodic) for k, v in br.items()}
             gr = {k: _perm_shift(v, n_dev, -1, periodic) for k, v in bl.items()}
             for g in (gl, gr):
-                g["Position"] = jnp.where((g["BandAlive"] > 0.5)[:, None],
-                                          g["Position"], FAR)
+                for pk in ("Position", "InitialPosition"):
+                    if pk in g:
+                        g[pk] = jnp.where((g["BandAlive"] > 0.5)[:, None],
+                                          g[pk], FAR)
             return gl, gr, ovr | ovl
 
         ghost_l, ghost_r, halo_overflow = exchange(fluid)
@@ -260,7 +280,7 @@ def make_distributed_step(decomp: SlabDecomposition, mesh: Mesh,
             pmin=lambda x: jax.lax.pmin(x, AXIS),
             psum=lambda x: jax.lax.psum(x, AXIS))
 
-        comb, relax_t, n_ac, phys_ovf = physics(ctx, comb)
+        comb, aux, relax_t, n_ac, phys_ovf = physics(ctx, comb, aux)
 
         out = dict(fluid)
         for k in exchange_fields:
@@ -268,29 +288,30 @@ def make_distributed_step(decomp: SlabDecomposition, mesh: Mesh,
                 out[k] = comb[k][:n_loc]
         out["Alive"] = alive
         overflow = mig_overflow | halo_overflow | phys_ovf
-        return out, relax_t, n_ac, overflow
+        return out, aux, relax_t, n_ac, overflow
 
     @jax.jit
     def step(sim: HaloShard) -> HaloShard:
         fluid_specs = {k: P(AXIS) for k in sim.fluid}
-        out, relax_t, n_ac, ovf = shard_map(
+        aux_specs = jax.tree_util.tree_map(lambda _: P(), sim.aux)
+        out, aux, relax_t, n_ac, ovf = shard_map(
             local_step, mesh=mesh,
-            in_specs=(fluid_specs,),
-            out_specs=(fluid_specs, P(), P(), P()),
+            in_specs=(fluid_specs, aux_specs),
+            out_specs=(fluid_specs, aux_specs, P(), P(), P()),
             check_vma=False,
-        )(sim.fluid)
+        )(sim.fluid, sim.aux)
         return HaloShard(fluid=out, time=sim.time + relax_t,
                          n_adv=sim.n_adv + 1, n_ac=sim.n_ac + n_ac,
-                         overflow=sim.overflow | ovf)
+                         overflow=sim.overflow | ovf, aux=aux)
 
     return step
 
 
 def distribute(state: dict, mesh: Mesh, decomp: SlabDecomposition,
-               n_loc: int | None = None) -> HaloShard:
+               n_loc: int | None = None, aux: Any = ()) -> HaloShard:
     """Partition any particle state dict into per-slab shards."""
     n_dev = decomp.n_dev
-    pos = np.asarray(state["Position"])
+    pos = np.asarray(state.get(decomp.band_coord, state["Position"]))
     n_real = int(state["NReal"]) if "NReal" in state else pos.shape[0]
     width = decomp.slab_width
     slab = np.clip(((pos[:, decomp.axis] - decomp.lo) // width).astype(int),
@@ -303,7 +324,7 @@ def distribute(state: dict, mesh: Mesh, decomp: SlabDecomposition,
     global_arrays = {}
     for k in fields:
         v = np.asarray(state[k])
-        fill = FAR if k == "Position" else (
+        fill = FAR if k in ("Position", "InitialPosition") else (
             1.0 if k in ("Mass", "Density", "VolumetricMeasure") else 0)
         out = np.full((n_dev * n_loc,) + v.shape[1:], fill, dtype=v.dtype)
         for d in range(n_dev):
@@ -322,4 +343,4 @@ def distribute(state: dict, mesh: Mesh, decomp: SlabDecomposition,
     return HaloShard(fluid=sharded, time=jnp.zeros((), dtype),
                      n_adv=jnp.zeros((), jnp.int32),
                      n_ac=jnp.zeros((), jnp.int32),
-                     overflow=jnp.zeros((), bool))
+                     overflow=jnp.zeros((), bool), aux=aux)

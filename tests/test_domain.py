@@ -118,3 +118,40 @@ def test_taylor_green_distributed(mesh8):
     d = np.minimum(d, L - d)
     assert d.max() < 1e-3 * L.max(), f"max circular position error {d.max()}"
 
+
+
+def test_beam_distributed_matched_step_parity(mesh8):
+    """Third physics family through the same API: total-Lagrangian solid.
+
+    The beam decomposes over the REFERENCE configuration (migrate=False,
+    band_coord="InitialPosition"): owners and halo bands are static, the
+    only per-step communication is the halo value refresh plus the global
+    pmin for the elastic acoustic dt (carried in the replicated aux, as
+    the reference computes dt AFTER each step — oscillating_beam.cpp loop).
+    Matched steps => trajectories agree to float accumulation error."""
+    from sphinxsys_tpu.cases import oscillating_beam_2d as ob
+
+    case, sim_s = ob.build_case()
+    n = case.n_solid
+    solid = dict(sim_s.solid)
+    solid["OriginalID"] = jnp.arange(solid["Position"].shape[0],
+                                     dtype=jnp.int32)
+
+    sim_d = hc.distribute_beam(case, solid, mesh8)
+    step_d = hc.make_halo_beam_step(case, mesh8)
+    step_s = jax.jit(lambda s: ob._step(case, s))
+
+    for _ in range(8):
+        sim_d = step_d(sim_d)
+        sim_s = step_s(sim_s)
+
+    assert not bool(sim_d.overflow)
+    assert int(jnp.sum(sim_d.fluid["Alive"])) == n
+    np.testing.assert_allclose(float(sim_d.time), float(sim_s.time),
+                               rtol=1e-6)
+
+    got = _gather_by_id(sim_d.fluid, n)
+    want_pos = np.asarray(sim_s.solid["Position"])[:n]
+    want_vel = np.asarray(sim_s.solid["Velocity"])[:n]
+    np.testing.assert_allclose(got["Position"], want_pos, atol=1e-6)
+    np.testing.assert_allclose(got["Velocity"], want_vel, atol=1e-4)
