@@ -48,7 +48,10 @@ def _run_single_fluid(module_name: str, bodies_of, t_end: float):
         end = float(p.pop("t_end", t_end))
         n_out = int(p.pop("n_output", 20))
         built = mod.build_case(**p)
-        case, states = built[0], built[1:]
+        if isinstance(built, tuple):
+            case, states = built[0], built[1:]
+        else:
+            case, states = built, ()
         if hasattr(mod, "init_sim"):
             s = mod.init_sim(case, *states)
         else:  # solid/shell cases return (case, sim) directly
@@ -155,6 +158,21 @@ CASES = {
             fromlist=["blocks_to_particles"]).blocks_to_particles(
                 c, s, c.base.n_fluid),
             "Wall": c.base.wall}, t_end=20.0),
+    "taylor_green_2d_block": _run_single_fluid(
+        "taylor_green_2d_block",
+        lambda c, s: {"WaterBody": __import__(
+            "sphinxsys_tpu.cases.taylor_green_2d_block",
+            fromlist=["blocks_to_particles"]).blocks_to_particles(
+                c, s, c.base.n_fluid)}, t_end=5.0),
+    "fsi2_block": _run_single_fluid(
+        "fsi2_block",
+        lambda c, s: {"WaterBody": __import__(
+            "sphinxsys_tpu.cases.fsi2_block",
+            fromlist=["blocks_to_particles"]).blocks_to_particles(c, s)},
+        t_end=20.0),
+    "diffusion_bcs_2d": _run_single_fluid(
+        "diffusion_bcs_2d",
+        lambda c, s: {"DiffusionBody": dict(s.body)}, t_end=1.0),
 }
 
 
