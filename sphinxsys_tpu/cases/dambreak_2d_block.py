@@ -126,7 +126,8 @@ def build_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 12,
 def _slot_fluid(case: BlockCase, flat_fields: dict, valid):
     """(Re-)slot flat per-particle/per-slot arrays into fresh blocks."""
     bm = build_block_map(flat_fields["Position"], valid, case.grid,
-                         cap=case.cap, c_max=case.c_max)
+                         cap=case.cap, c_max=case.c_max,
+                         n_max=case.base.n_fluid, with_inverse=False)
     fills = dict(_FILLS)
     fills["OriginalID"] = jnp.iinfo(jnp.int32).max
     fb = to_blocks_packed(bm, flat_fields, fills)

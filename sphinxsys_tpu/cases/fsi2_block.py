@@ -125,7 +125,7 @@ def _slot_all(case: BlockFSICase, flat: dict, valid, solid: dict):
     eng = case.eng
     flat = dict(flat)
     flat["Position"] = wrap_positions(flat["Position"], eng.grid)
-    fb, bm_f = eng_mod.slot_fluid(eng, flat, valid)
+    fb, bm_f = eng_mod.slot_fluid(eng, flat, valid, n_max=case.base.n_fluid)
 
     wstate = _merged_wall_state(case, solid)
     wall_b, bm_w, dm_w = eng_mod.build_wall_blocks(

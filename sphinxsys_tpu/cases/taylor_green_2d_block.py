@@ -62,7 +62,8 @@ def build_case(dx: float = 0.01, dtype=jnp.float32, cap: int = 12,
 def _slot(case: BlockCase, flat: dict, valid):
     flat = dict(flat)
     flat["Position"] = wrap_positions(flat["Position"], case.eng.grid)
-    fb, bm = eng_mod.slot_fluid(case.eng, flat, valid)
+    fb, bm = eng_mod.slot_fluid(case.eng, flat, valid,
+                                n_max=case.base.n_fluid)
     return fb, bm.nbr_block, bm.overflow, bm.n_occ
 
 

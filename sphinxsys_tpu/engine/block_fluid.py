@@ -117,12 +117,14 @@ def _slot_mask_2d(bm):
     return jnp.concatenate([m, jnp.zeros((1, bm.cap), dtype=bool)], axis=0)
 
 
-def slot_fluid(eng: BlockEngine, flat: dict, valid):
+def slot_fluid(eng: BlockEngine, flat: dict, valid, n_max: int | None = None):
     """(Re-)slot flat per-particle/per-slot arrays into fresh blocks.
     Returns (fb, bm): the block state (with SlotMask) and the BlockMap
-    (its occ_cells feed wall window maps and solid->fluid lookups)."""
+    (its occ_cells feed wall window maps and solid->fluid lookups).
+    Pass n_max = the particle capacity when re-slotting slot arrays
+    (2-3x larger than the particle count) — it bounds the post-sort work."""
     bm = build_block_map(flat["Position"], valid, eng.grid, cap=eng.cap,
-                         c_max=eng.c_max)
+                         c_max=eng.c_max, n_max=n_max, with_inverse=False)
     fb = to_blocks_packed(bm, flat, eng.fills)
     fb["SlotMask"] = _slot_mask_2d(bm)
     return fb, bm

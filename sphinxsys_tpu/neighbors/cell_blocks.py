@@ -54,8 +54,13 @@ class BlockMap(NamedTuple):
                    sentinel N for empty slots.
     slot_mask:     (C_max*cap,) bool — slot holds a real particle.
     particle_slot: (N,) int32 — inverse map (slot of each particle;
-                   undefined for invalid particles).
+                   undefined for invalid particles); None unless
+                   `with_inverse` (it costs a second argsort — IO only).
     overflow:      () bool — cap or C_max exceeded; results invalid.
+    order_n:       (M,) int32 — first M entries of the cid argsort (all
+                   valid particles in block order); M = min(n_max, N).
+    start:         (C_max,) int32 — sorted position where block row r's
+                   run begins (sentinel M).
     """
 
     occ_cells: jnp.ndarray
@@ -65,6 +70,8 @@ class BlockMap(NamedTuple):
     slot_mask: jnp.ndarray
     particle_slot: jnp.ndarray
     overflow: jnp.ndarray
+    order_n: jnp.ndarray
+    start: jnp.ndarray
 
     @property
     def c_max(self) -> int:
@@ -75,25 +82,35 @@ class BlockMap(NamedTuple):
         return self.slot_particle.shape[0] // self.occ_cells.shape[0]
 
 
-def build_block_map(pos, valid, grid: CellGrid, cap: int, c_max: int) -> BlockMap:
+def build_block_map(pos, valid, grid: CellGrid, cap: int, c_max: int,
+                    n_max: int | None = None,
+                    with_inverse: bool = True) -> BlockMap:
     """Count-sort particles into occupied-cell blocks (one argsort + a few
     scatters; runs once per advection step).
 
     pos:   (N, dim) — N may itself be a slot array being re-slotted.
     valid: (N,) bool, or an int scalar n_real (rows >= n_real invalid).
+    n_max: static upper bound on the number of valid rows (e.g. the
+           particle capacity when re-slotting a (C_max*cap)-row slot
+           array, which is 2-3x larger).  Everything after the argsort
+           runs on the first n_max sorted rows only.
+    with_inverse: compute `particle_slot` (costs a second argsort over all
+           N rows; only IO paths need it).
     """
     n, dim = pos.shape
     ncells = grid.ncells
+    m = n if n_max is None else min(n_max, n)
     if getattr(valid, "ndim", 0) == 0:
         valid = jnp.arange(n) < valid
     cid = jnp.where(valid, grid.cell_id(pos), ncells)
 
-    order = jnp.argsort(cid)  # stable
-    scid = cid[order].astype(jnp.int32)
+    order = jnp.argsort(cid)  # stable: all valid rows land in [0, m)
+    order_n = order[:m].astype(jnp.int32)
+    scid = cid[order_n].astype(jnp.int32)
     prev = jnp.concatenate([jnp.full((1,), -1, scid.dtype), scid[:-1]])
     is_first = (scid != prev) & (scid < ncells)
     csum = jnp.cumsum(is_first.astype(jnp.int32))
-    occ_rank = csum - 1                       # (N,) block row per sorted particle
+    occ_rank = csum - 1                       # (M,) block row per sorted particle
     n_occ = csum[-1]
 
     # Everything below is GATHER-based: the monotone scatters of the naive
@@ -105,35 +122,44 @@ def build_block_map(pos, valid, grid: CellGrid, cap: int, c_max: int) -> BlockMa
     # the first position with cumsum(is_first) == r + 1
     p_r = jnp.searchsorted(csum, r_idx + 1, side="left").astype(jnp.int32)
     found = r_idx < n_occ
-    start = jnp.where(found, p_r, n).astype(jnp.int32)
-    occ_cells = jnp.where(found, scid[jnp.minimum(p_r, n - 1)], ncells)
+    start = jnp.where(found, p_r, m).astype(jnp.int32)
+    occ_cells = jnp.where(found, scid[jnp.minimum(p_r, m - 1)], ncells)
 
-    rank = jnp.arange(n, dtype=jnp.int32) - start[
+    rank = jnp.arange(m, dtype=jnp.int32) - start[
         jnp.clip(occ_rank, 0, c_max - 1)]
     sort_valid = scid < ncells
-    slot_ok = sort_valid & (rank < cap) & (occ_rank < c_max)
     big = c_max * cap
 
     # slot_particle by direct row gathers: block row r's occupants are the
     # consecutive sorted positions start[r] .. start[r] + count[r]
     n_valid = jnp.sum(sort_valid.astype(jnp.int32))
-    nxt = jnp.concatenate([start[1:], jnp.full((1,), n, jnp.int32)])
+    nxt = jnp.concatenate([start[1:], jnp.full((1,), m, jnp.int32)])
     count = jnp.minimum(nxt, n_valid) - jnp.minimum(start, n_valid)
     k_idx = jnp.arange(cap, dtype=jnp.int32)
     occ_pos = start[:, None] + k_idx[None, :]            # (c_max, cap)
     valid_slot = (k_idx[None, :] < jnp.minimum(count, cap)[:, None]) & found[:, None]
     slot_particle = jnp.where(
-        valid_slot, order[jnp.minimum(occ_pos, n - 1)].astype(jnp.int32),
+        valid_slot, order_n[jnp.minimum(occ_pos, m - 1)].astype(jnp.int32),
         n).reshape(-1)
     slot_mask = slot_particle < n
 
-    # inverse map (IO only), scatter-free: invert the sort permutation with
-    # a second argsort (sorts are fast where TPU scatters are not)
-    slot = jnp.where(slot_ok, occ_rank * cap + rank, big).astype(jnp.int32)
-    inv_order = jnp.argsort(order)
-    particle_slot = slot[inv_order]
+    if with_inverse:
+        # inverse map (IO only), scatter-free: invert the sort permutation
+        # with a second argsort (sorts beat TPU scatters)
+        slot_ok = sort_valid & (rank < cap) & (occ_rank < c_max)
+        slot_m = jnp.where(slot_ok, occ_rank * cap + rank, big).astype(jnp.int32)
+        slot_full = jnp.concatenate(
+            [slot_m, jnp.full((n - m,), big, jnp.int32)]) if m < n else slot_m
+        inv_order = jnp.argsort(order)
+        particle_slot = slot_full[inv_order]
+    else:
+        particle_slot = None
 
     overflow = (n_occ > c_max) | jnp.any(sort_valid & (rank >= cap))
+    # n_max too small: valid rows spilled past m (they sort before
+    # invalid-sentinel rows, so a spill means row m-1 is still valid)
+    if m < n:
+        overflow = overflow | (cid[order[m]] < ncells)
 
     # window-neighbor block rows via a dense cell -> block-row map (one
     # small scatter + pure gathers; binary searches over the occ list cost
@@ -159,7 +185,8 @@ def build_block_map(pos, valid, grid: CellGrid, cap: int, c_max: int) -> BlockMa
 
     return BlockMap(occ_cells=occ_cells, n_occ=n_occ, nbr_block=nbr_block,
                     slot_particle=slot_particle, slot_mask=slot_mask,
-                    particle_slot=particle_slot, overflow=overflow)
+                    particle_slot=particle_slot, overflow=overflow,
+                    order_n=order_n, start=start)
 
 
 def _unflatten(flat, grid: CellGrid):
@@ -255,6 +282,11 @@ def to_blocks_packed(bm: BlockMap, fields: dict, fills: dict | None = None):
     packed rows through slot_particle, and unpacks to block arrays
     (C_max+1, cap, ...).  Ten separate 4-byte element gathers become one
     row gather — the dominant re-slot cost on TPU after the sort fix.
+
+    Measured alternatives at 320k (benchmarks/exp_reslot_gather.py, v5e):
+    this direct per-slot row gather 4.6 ms; sorted-compact gather +
+    per-block vmapped dynamic_slice 129 ms (Mosaic lowers dynamic-start
+    slice batches to serial loops) — do NOT "optimize" this into slices.
     """
     fills = fills or {}
     n = next(iter(fields.values())).shape[0]
@@ -276,12 +308,12 @@ def to_blocks_packed(bm: BlockMap, fields: dict, fills: dict | None = None):
         c = _to_container(v)
         cols.append(c[:, None] if v.ndim == 1 else c)
     packed = jnp.concatenate(cols, axis=-1)                 # (N, CH)
+    cap = bm.cap
 
     safe = jnp.minimum(bm.slot_particle, n - 1)
     rows = packed[safe]                                     # ONE gather
     maskc = bm.slot_mask[:, None]
 
-    cap = bm.cap
     out = {}
     col0 = 0
     for k, v in fields.items():
