@@ -28,15 +28,32 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    dx = float(os.environ.get("BENCH_DX", "0.005"))
+    bench_case = os.environ.get("BENCH_CASE", "dambreak_2d")
+    dx = float(os.environ.get("BENCH_DX",
+                              "0.01" if bench_case == "dambreak_3d" else "0.005"))
     n_steps = int(os.environ.get("BENCH_STEPS", "40"))
     engine = os.environ.get("BENCH_ENGINE", "pallas")
 
-    if engine in ("block", "pallas"):
+    if bench_case == "dambreak_3d":
+        from sphinxsys_tpu.cases import dambreak_3d as db
+        from sphinxsys_tpu.cases import dambreak_3d_block as dbb
+
+        block_kwargs = {}
+        if os.environ.get("BENCH_CMAX"):
+            block_kwargs["c_max"] = int(os.environ["BENCH_CMAX"])
+        if os.environ.get("BENCH_TILE_C"):
+            block_kwargs["tile_c"] = int(os.environ["BENCH_TILE_C"])
+        if os.environ.get("BENCH_CAP"):
+            block_kwargs["cap"] = int(os.environ["BENCH_CAP"])
+    else:
         from sphinxsys_tpu.cases import dambreak_2d as db
         from sphinxsys_tpu.cases import dambreak_2d_block as dbb
 
-        case, fluid = dbb.build_case(dx=dx, use_pallas=(engine == "pallas"))
+        block_kwargs = {}
+
+    if engine in ("block", "pallas"):
+        case, fluid = dbb.build_case(dx=dx, use_pallas=(engine == "pallas"),
+                                     **block_kwargs)
         sim = dbb.init_sim(case, fluid)
         run_chunk = dbb.make_run_chunk(case)
         n_fluid, n_wall = case.base.n_fluid, case.base.n_wall
@@ -45,8 +62,6 @@ def main() -> None:
         def ready(s):
             return s.fluid_b["Position"]
     else:
-        from sphinxsys_tpu.cases import dambreak_2d as db
-
         case, fluid = db.build_case(dx=dx, cell_cap=24, k_inner=64, k_wall=40)
         sim = db.init_sim(case, fluid)
         run_chunk = db.make_run_chunk(case)
@@ -126,7 +141,7 @@ def main() -> None:
         "unit": "1/s",
         "vs_baseline": rate / 1.0e9,
         "detail": {
-            "case": "dambreak_2d",
+            "case": bench_case,
             "engine": engine,
             "dx": dx,
             "n_fluid": n_fluid,

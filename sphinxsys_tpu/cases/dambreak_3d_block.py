@@ -1,0 +1,160 @@
+"""3D dambreak on the cell-block engine — the TPU fast path in 3D.
+
+Same scene and dual-criteria loop as cases/dambreak_3d.py (reference:
+tests/3d_examples/test_3d_dambreak/dambreak.cpp), but the fluid state
+lives in occupied-cell block layout (neighbors/cell_blocks.py, which is
+dimension-generic) and every pair sweep is 27 dense (C, cap, cap) window
+passes through the case-agnostic engine (engine/block_fluid.py).
+
+3D capacity notes:
+  * a 2.6dx cell can hold up to 3 lattice planes per axis = 27 particles
+    at t = 0, and the coarse surge front transiently clusters past 32
+    (measured at dx=0.1), so the default slot cap is 40 — vs 12 in 2D;
+  * occupied-cell count: the column at rest fills ~n/18 cells and spreads
+    2-3x through the surge; default c_max = n_fluid // 5 (overflow-flag
+    guarded, like the 2D case).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sphinxsys_tpu.cases import dambreak_3d as db3
+from sphinxsys_tpu.engine import block_fluid as eng_mod
+from sphinxsys_tpu.engine.block_fluid import BlockEngine, WallCtx
+from sphinxsys_tpu.neighbors.cell_blocks import BlockMap
+from sphinxsys_tpu.physics import riemann as rs
+
+
+class BlockSim(NamedTuple):
+    fluid_b: Any
+    nbr_inner: Any     # (C_max, 27) int32
+    nbr_wall: Any      # (C_max, 27) int32
+    time: jnp.ndarray
+    n_adv: jnp.ndarray
+    n_ac: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockCase:
+    base: db3.Dambreak3DCase
+    eng: BlockEngine
+    wall_b: Any
+    bm_wall: BlockMap
+    wall_dense_map: Any
+
+
+def build_case(dx: float = 0.05, dtype=jnp.float32, cap: int = 40,
+               c_max: int | None = None, use_pallas: bool = False,
+               pallas_interpret: bool = False, tile_c: int = 128,
+               cap_wall: int | None = None):
+    base, fluid = db3.build_case(dx=dx, dtype=dtype)
+
+    c_max = eng_mod.round_to(c_max or max(base.n_fluid // 5, 512), tile_c)
+    cap_wall = cap_wall or cap
+    # the wall is a thin shell: cells straddle it partially, so the mean
+    # occupancy is far below the solid-interior 17.6/cell (measured ~9 at
+    # dx=0.1) — size by n_wall/4 like the 2D case
+    c_max_w = eng_mod.round_to(max(base.n_wall // 4, 256), 32)
+
+    eng = BlockEngine(
+        grid=base.grid, kernel=base.kernel, eos=base.eos,
+        riemann1=base.riemann, riemann2=base.riemann,
+        rho0=db3.RHO0_F, sigma0=base.adaptation.sigma0, h=base.adaptation.h,
+        speed_ref=db3.U_REF, dim=3, free_surface=True, cap=cap, c_max=c_max,
+        tile_c=tile_c, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret, cap_ac_dt=False,
+        wall_static=True)
+
+    # static wall blocks (jitted: eager remote-TPU dispatch is latency-bound)
+    @jax.jit
+    def _build_wall():
+        return eng_mod.build_wall_blocks(
+            dataclasses.replace(eng, cap=cap_wall), base.wall, c_max_w)
+
+    wall_b, bm_wall, dm_w = _build_wall()
+    return BlockCase(base=base, eng=eng, wall_b=wall_b, bm_wall=bm_wall,
+                     wall_dense_map=dm_w), fluid
+
+
+def _slot(case: BlockCase, flat: dict, valid):
+    fb, bm = eng_mod.slot_fluid(case.eng, flat, valid,
+                                n_max=case.base.n_fluid)
+    nbr_wall = eng_mod.wall_windows(case.eng, bm, case.bm_wall,
+                                    case.wall_dense_map)
+    return fb, bm.nbr_block, nbr_wall, bm.overflow, bm.n_occ
+
+
+def init_sim(case: BlockCase, fluid: dict) -> BlockSim:
+    n = fluid["Position"].shape[0]
+    flat = {k: fluid[k] for k in eng_mod.FLUID_FIELDS}
+    flat["OriginalID"] = jnp.arange(n, dtype=jnp.int32)
+    valid = jnp.arange(n) < fluid["NReal"]
+
+    fb, nbr_inner, nbr_wall, ovf, _ = jax.jit(
+        lambda: _slot(case, flat, valid))()
+    dtype = fluid["Position"].dtype
+    return BlockSim(fluid_b=fb, nbr_inner=nbr_inner, nbr_wall=nbr_wall,
+                    time=jnp.zeros((), dtype), n_adv=jnp.zeros((), jnp.int32),
+                    n_ac=jnp.zeros((), jnp.int32),
+                    overflow=ovf | case.bm_wall.overflow)
+
+
+def _advection_step(case: BlockCase, s: BlockSim) -> BlockSim:
+    eng = case.eng
+    fb = s.fluid_b
+    n_occ = jnp.sum(jnp.any(fb["SlotMask"][:-1], axis=1).astype(jnp.int32))
+    wc = eng_mod.make_wall_ctx(eng, case.wall_b, s.nbr_wall, case.bm_wall,
+                               n_occ=n_occ)
+
+    dt_adv = eng_mod.advection_dt(eng, fb)
+    fb = eng_mod.advection_prep(eng, fb, s.nbr_inner, wc)
+
+    def ac_cond(carry):
+        _, rt, _ = carry
+        return rt < dt_adv
+
+    def ac_body(carry):
+        f, rt, k = carry
+        dt = eng_mod.acoustic_dt(eng, f)
+        f = eng_mod.acoustic_step(eng, f, s.nbr_inner, wc, dt)
+        return (f, rt + dt, k + 1)
+
+    fb, relax_t, n_ac = jax.lax.while_loop(
+        ac_cond, ac_body,
+        (fb, jnp.zeros_like(dt_adv), jnp.zeros((), jnp.int32)))
+
+    flat = {k: fb[k].reshape((-1,) + fb[k].shape[2:])
+            for k in eng.fluid_fields + ("OriginalID",)}
+    valid = fb["SlotMask"].reshape(-1)
+    fb2, nbr_inner, nbr_wall, ovf, _ = _slot(case, flat, valid)
+
+    return BlockSim(fluid_b=fb2, nbr_inner=nbr_inner, nbr_wall=nbr_wall,
+                    time=s.time + relax_t, n_adv=s.n_adv + 1,
+                    n_ac=s.n_ac + n_ac, overflow=s.overflow | ovf)
+
+
+def make_run_chunk(case: BlockCase):
+    @jax.jit
+    def run_chunk(s: BlockSim, t_target) -> BlockSim:
+        return jax.lax.while_loop(lambda st: st.time < t_target,
+                                  lambda st: _advection_step(case, st), s)
+
+    return run_chunk
+
+
+def make_advection_step(case: BlockCase):
+    @jax.jit
+    def step(s: BlockSim) -> BlockSim:
+        return _advection_step(case, s)
+
+    return step
+
+
+def blocks_to_particles(case: BlockCase, s: BlockSim, n: int) -> dict:
+    return eng_mod.blocks_to_particles(case.eng, s.fluid_b, n)

@@ -88,6 +88,8 @@ class BlockEngine:
     use_pallas: bool = False
     pallas_interpret: bool = False
     cap_ac_dt: bool = True    # cap acoustic dt by the advection dt
+    wall_static: bool = False  # fixed walls: drop vel/acc wall channels
+                               # (Pallas path only; big HBM win in 3D)
 
     @property
     def box(self):
@@ -176,7 +178,8 @@ def make_wall_ctx(eng: BlockEngine, wall_b, nbr_wall, bm_wall,
     if not eng.use_pallas:
         return WallCtx(wall_b, nbr_wall, None, None)
     wall_jt, wflags = fbops.pack_wall_t(wall_b, nbr_wall, bm_wall.c_max,
-                                        eng.tile_c, n_occ=n_occ)
+                                        eng.tile_c, n_occ=n_occ,
+                                        wall_static=eng.wall_static)
     return WallCtx(wall_b, nbr_wall, wall_jt, wflags)
 
 
@@ -187,7 +190,9 @@ def null_wall_ctx(eng: BlockEngine, n_occ=None) -> WallCtx:
     if not eng.use_pallas:
         return WallCtx(None, None, None, None)
     n_tiles = eng.c_max // eng.tile_c
-    wall_jt = jnp.zeros((9, 9, 1, eng.c_max), jnp.float32)
+    nw = 3 ** eng.dim
+    chw = 2 * eng.dim + 1 if eng.wall_static else 3 * eng.dim + 1
+    wall_jt = jnp.zeros((nw, chw, 1, eng.c_max), jnp.float32)
     flags = jnp.zeros((n_tiles,), jnp.int32)
     if n_occ is not None:
         tile_start = jnp.arange(n_tiles, dtype=jnp.int32) * eng.tile_c
@@ -207,7 +212,8 @@ def advection_prep(eng: BlockEngine, fb, nbr_inner, wc: WallCtx):
         fb = fbops.density_summation_p2(
             fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.rho0,
             eng.sigma0, tile_c=eng.tile_c, interpret=eng.pallas_interpret,
-            free_surface=eng.free_surface, box=eng.box, roll_y=eng.roll_y)
+            free_surface=eng.free_surface, box=eng.box, roll_y=eng.roll_y,
+            dim=eng.dim, wall_static=eng.wall_static)
         if eng.mu > 0.0 or eng.tvc_coef > 0.0:
             fb = fbops.visc_tvc_p2(
                 fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.dim,
@@ -215,7 +221,7 @@ def advection_prep(eng: BlockEngine, fb, nbr_inner, wc: WallCtx):
                 tvc_limiter_slope=eng.tvc_limiter, tile_c=eng.tile_c,
                 interpret=eng.pallas_interpret, box=eng.box,
                 roll_y=eng.roll_y, do_viscous=eng.mu > 0.0,
-                do_tvc=eng.tvc_coef > 0.0)
+                do_tvc=eng.tvc_coef > 0.0, wall_static=eng.wall_static)
         return fb
 
     contacts = []
@@ -263,11 +269,13 @@ def acoustic_step(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt):
         fb = fbops.acoustic_step_1st_half_p2(
             fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.eos,
             eng.riemann1, dt, tile_c=eng.tile_c,
-            interpret=eng.pallas_interpret, box=eng.box, roll_y=eng.roll_y)
+            interpret=eng.pallas_interpret, box=eng.box, roll_y=eng.roll_y,
+            dim=eng.dim, wall_static=eng.wall_static)
         fb = fbops.acoustic_step_2nd_half_p2(
             fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.riemann2,
             dt, tile_c=eng.tile_c, interpret=eng.pallas_interpret,
-            box=eng.box, roll_y=eng.roll_y)
+            box=eng.box, roll_y=eng.roll_y, dim=eng.dim,
+            wall_static=eng.wall_static)
         return fb
     walls = _jnp_walls(wc)
     wall_b = walls[0][0] if walls else None

@@ -435,34 +435,37 @@ def sweep_geometry(pos_qb, mask_qb, pos_sb, mask_sb, nbr_block, w, kernel,
 # ---------------------------------------------------------------------------
 
 def pack_wall_t(wall_b, nbr_wall, c_max_wall: int, tile_c: int = 256,
-                n_occ=None):
+                n_occ=None, wall_static: bool = False):
     """Per-advection-step wall prep for the fused sweeps: gather+transpose
-    the static wall channels through the (C, 9) wall windows, plus per-tile
-    any-wall flags.  Returns (wall_jt (9, 9, CAP, C), wflags (C/tile_c,))."""
+    the static wall channels through the (C, NW) wall windows, plus
+    per-tile any-wall flags.  Returns (wall_jt (NW, CH, CAP, C), wflags).
+    `wall_static` drops the velocity/acceleration channels (identically
+    zero for fixed walls): CH = 2*dim+1 instead of 3*dim+1."""
     from sphinxsys_tpu.ops import pallas_block2 as pb2
 
-    packed = jnp.concatenate([
-        wall_b["Position"],
-        wall_b["VolumetricMeasure"][..., None],
-        wall_b["AverageVelocity"],
-        wall_b["NormalDirection"],
-        wall_b["AverageAcceleration"],
-    ], axis=-1)                                   # (Cw+1, CAP, 9)
+    cols = [wall_b["Position"], wall_b["VolumetricMeasure"][..., None]]
+    if not wall_static:
+        cols.append(wall_b["AverageVelocity"])
+    cols.append(wall_b["NormalDirection"])
+    if not wall_static:
+        cols.append(wall_b["AverageAcceleration"])
+    packed = jnp.concatenate(cols, axis=-1)       # (Cw+1, CAP, CH)
+    nw = nbr_wall.shape[1]
     cap, ch = packed.shape[1], packed.shape[2]
     c = nbr_wall.shape[0]
     flat = packed.reshape(packed.shape[0], cap * ch)  # flat-row gathers:
     wall_jt = jnp.stack(                              # see _window_jt note
-        [flat[nbr_wall[:, w]] for w in range(9)], axis=0).reshape(
-            9, c, cap, ch).transpose(0, 3, 2, 1)
+        [flat[nbr_wall[:, w]] for w in range(nw)], axis=0).reshape(
+            nw, c, cap, ch).transpose(0, 3, 2, 1)
     wflags = pb2.wall_flags(nbr_wall, c_max_wall, tile_c, n_occ=n_occ)
     return wall_jt, wflags
 
 
 
 
-def _window_jt(packed_j, nbr, c, roll_y: bool = True):
-    """(C+1, CAP, CH) + (C, 9) -> (9, CH, CAP, C) window stack in the
-    transposed kernel layout.
+def _window_jt(packed_j, nbr, c, roll_y: bool = True, dim: int = 2):
+    """(C+1, CAP, CH) + (C, NW) -> (NW, CH, CAP, C) window stack in the
+    transposed kernel layout (NW = 3^dim).
 
     Gather layout matters enormously on TPU: gathering 3D rows of a
     (C+1, CAP, CH) array costs ~4x the same bytes gathered as 2D rows of
@@ -471,58 +474,65 @@ def _window_jt(packed_j, nbr, c, roll_y: bool = True):
     at C = 64000, cap 12).  So: flatten, gather all windows, then ONE
     stacked transpose into the kernel layout.
 
-    With `roll_y` (the default), the three same-column windows are PURE
-    SHIFTS of the sorted block order (cells sort by cx*GY+cy, so cell
-    cy+-1, when occupied, is exactly the adjacent row): windows 3/4/5
-    ((0,-1)/(0,0)/(0,+1)) use roll/select instead of gathers.  Pass
-    roll_y=False on grids PERIODIC along the last axis (a y-wrap
-    neighbor is not the adjacent row; those windows fall back to
-    gathers)."""
+    With `roll_y` (the default), the three center-column windows — the
+    offsets (0, ..., 0, -1/0/+1) along the LAST axis — are PURE SHIFTS of
+    the sorted block order (cells sort row-major, so the last-axis +-1
+    cell, when occupied, is exactly the adjacent row): they use
+    roll/select instead of gathers.  Pass roll_y=False on grids PERIODIC
+    along the last axis (a wrap neighbor is not the adjacent row; those
+    windows fall back to gathers)."""
+    nw = nbr.shape[1]
+    ctr = (nw - 1) // 2          # offset (0,...,0); ctr -+ 1 = last-axis -+1
     cap, ch = packed_j.shape[1], packed_j.shape[2]
     flat = packed_j.reshape(packed_j.shape[0], cap * ch)
-    gw = (0, 1, 2, 6, 7, 8) if roll_y else (0, 1, 2, 3, 5, 6, 7, 8)
+    if roll_y:
+        gw = tuple(w for w in range(nw) if w not in (ctr - 1, ctr, ctr + 1))
+    else:
+        gw = tuple(w for w in range(nw) if w != ctr)
     gathered = jnp.stack([flat[nbr[:, w]] for w in gw], axis=0)
     gathered = gathered.reshape(len(gw), c, cap, ch).transpose(0, 3, 2, 1)
     base = flat[:c].reshape(c, cap, ch).transpose(2, 1, 0)  # (CH, CAP, C)
+    out = [None] * nw
+    for k, w in enumerate(gw):
+        out[w] = gathered[k]
+    out[ctr] = base
     if roll_y:
         fill = jnp.zeros_like(base)
-        fill = fill.at[:2].set(1.0e16)                # park positions FAR
+        fill = fill.at[:dim].set(1.0e16)              # park positions FAR
         rolled_m = jnp.concatenate([fill[..., :1], base[..., :-1]], axis=-1)
         rolled_p = jnp.concatenate([base[..., 1:], fill[..., :1]], axis=-1)
-        # exact adjacency check (cells sort by flattened id; cy+-1 when
-        # occupied is always the adjacent row when y does not wrap)
+        # exact adjacency check (cells sort by flattened id; the last-axis
+        # +-1 cell, when occupied, is always the adjacent row when the
+        # last axis does not wrap)
         ar = jnp.arange(nbr.shape[0], dtype=nbr.dtype)
-        valid_m = (nbr[:, 3] == ar - 1)[None, None, :]
-        valid_p = (nbr[:, 5] == ar + 1)[None, None, :]
-        out = [gathered[0], gathered[1], gathered[2],
-               jnp.where(valid_m, rolled_m, fill), base,
-               jnp.where(valid_p, rolled_p, fill),
-               gathered[3], gathered[4], gathered[5]]
-    else:
-        out = [gathered[0], gathered[1], gathered[2], gathered[3], base,
-               gathered[4], gathered[5], gathered[6], gathered[7]]
+        valid_m = (nbr[:, ctr - 1] == ar - 1)[None, None, :]
+        valid_p = (nbr[:, ctr + 1] == ar + 1)[None, None, :]
+        out[ctr - 1] = jnp.where(valid_m, rolled_m, fill)
+        out[ctr + 1] = jnp.where(valid_p, rolled_p, fill)
     return jnp.stack(out, axis=0)
 
 
 def _box_xy(box):
-    """(box_x, box_y) static floats from a periodic-lengths tuple (0 = no
-    wrap).  Periodic Pallas engines must park padding with VOL = 0 — see
-    ops/pallas_block2._make_wrap."""
+    """(box_x, box_y, box_z) static floats from a periodic-lengths tuple
+    (0 = no wrap).  Periodic Pallas engines must park padding with
+    VOL = 0 — see ops/pallas_block2._make_wrap."""
     if box is None:
-        return 0.0, 0.0
-    return float(box[0]), float(box[1])
+        return 0.0, 0.0, 0.0
+    b = tuple(float(x) for x in box)
+    return b + (0.0,) * (3 - len(b))
 
 
 def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
                               riemann, dt, tile_c: int = 256,
                               interpret: bool = False, box=None,
-                              roll_y: bool = True):
-    """Pallas v2 variant of acoustic_step_1st_half_b (2D WendlandC2).
+                              roll_y: bool = True, dim: int = 2,
+                              wall_static: bool = False):
+    """Pallas v2 variant of acoustic_step_1st_half_b (WendlandC2, 2D/3D).
     Padding handled by FAR-parked positions (non-periodic) plus VOL = 0
     fills (required under periodic wrap)."""
     from sphinxsys_tpu.ops import pallas_block2 as pb2
 
-    bx, by = _box_xy(box)
+    bx, by, bz = _box_xy(box)
     out = dict(fb)
     mask = fb["SlotMask"]
     rho = jnp.where(mask, fb["Density"] + fb["DensityChangeRate"] * (0.5 * dt),
@@ -533,16 +543,18 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
     c = nbr_inner.shape[0]
 
     packed_j = jnp.concatenate([pos, p[..., None], vol[..., None]], axis=-1)
-    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y)
+    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
     acc_prior = fb["ForcePrior"] / jnp.maximum(fb["Mass"], TINY)[..., None]
-    xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T, p[:c].T, rho[:c].T,
-                      acc_prior[:c, :, 0].T, acc_prior[:c, :, 1].T], 0)
+    xi_t = jnp.stack([pos[:c, :, k].T for k in range(dim)]
+                     + [p[:c].T, rho[:c].T]
+                     + [acc_prior[:c, :, k].T for k in range(dim)], 0)
 
-    fx, fy, rd = pb2.ac1_sweep_t(
+    *fs, rd = pb2.ac1_sweep_t(
         xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
-        factor_w=kernel._factor_w(2), inv_rho0c0=riemann.inv_rho0c0_ave,
-        tile_c=tile_c, interpret=interpret, box_x=bx, box_y=by)
-    force = jnp.stack([fx.T, fy.T], axis=-1)      # (C, CAP, 2)
+        factor_w=kernel._factor_w(dim), inv_rho0c0=riemann.inv_rho0c0_ave,
+        tile_c=tile_c, interpret=interpret, box_x=bx, box_y=by, box_z=bz,
+        dim=dim, wall_static=wall_static)
+    force = jnp.stack([f.T for f in fs], axis=-1)  # (C, CAP, dim)
     pad_v = fb["Force"][c:]
     force_total = fb["Force"] + jnp.concatenate(
         [force * vol[:c][..., None], jnp.zeros_like(pad_v)], axis=0)
@@ -560,13 +572,14 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
 def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
                               dt, tile_c: int = 256,
                               interpret: bool = False, box=None,
-                              roll_y: bool = True):
+                              roll_y: bool = True, dim: int = 2,
+                              wall_static: bool = False):
     """Pallas v2 variant of acoustic_step_2nd_half_b."""
     from sphinxsys_tpu.ops import pallas_block2 as pb2
     from sphinxsys_tpu.physics.riemann import (
         AcousticRiemannSolver, DissipativeRiemannSolver)
 
-    bx, by = _box_xy(box)
+    bx, by, bz = _box_xy(box)
     out = dict(fb)
     mask = fb["SlotMask"]
     pos = fb["Position"] + jnp.where(mask[..., None], fb["Velocity"] * (0.5 * dt), 0.0)
@@ -576,9 +589,9 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
     c = nbr_inner.shape[0]
 
     packed_j = jnp.concatenate([pos, vel, vol[..., None]], axis=-1)
-    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y)
-    xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T,
-                      vel[:c, :, 0].T, vel[:c, :, 1].T], 0)
+    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
+    xi_t = jnp.stack([pos[:c, :, k].T for k in range(dim)]
+                     + [vel[:c, :, k].T for k in range(dim)], 0)
 
     if isinstance(riemann, DissipativeRiemannSolver):
         geo, limiter = riemann.rho0c0_geo_ave, 1.0e30
@@ -586,13 +599,14 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
         geo, limiter = riemann.rho0c0_geo_ave, riemann.limiter_coeff
     else:
         geo, limiter = 0.0, 1.0
-    dcr, fx, fy = pb2.ac2_sweep_t(
+    dcr, *fs = pb2.ac2_sweep_t(
         xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
-        factor_w=kernel._factor_w(2), rho0c0_geo=geo,
+        factor_w=kernel._factor_w(dim), rho0c0_geo=geo,
         inv_c0=riemann.inv_c0_ave, limiter_coeff=limiter, tile_c=tile_c,
-        interpret=interpret, box_x=bx, box_y=by)
+        interpret=interpret, box_x=bx, box_y=by, box_z=bz, dim=dim,
+        wall_static=wall_static)
 
-    force = jnp.stack([fx.T, fy.T], axis=-1) * vol[:c][..., None]
+    force = jnp.stack([f.T for f in fs], axis=-1) * vol[:c][..., None]
     drho_dt = fb["DensityChangeRate"] + jnp.concatenate(
         [dcr.T * rho[:c], jnp.zeros_like(rho[c:])], axis=0)
     force_full = jnp.concatenate([force, jnp.zeros_like(vel[c:])], axis=0)
@@ -605,7 +619,8 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
 def density_summation_p2(fb, nbr_inner, wall_jt, wflags, kernel, rho0: float,
                          sigma0: float, tile_c: int = 256,
                          interpret: bool = False, free_surface: bool = True,
-                         box=None, roll_y: bool = True):
+                         box=None, roll_y: bool = True, dim: int = 2,
+                         wall_static: bool = False):
     """Pallas v2 variant of density_summation_b (inner + wall contact).
     The slot-mask channel and the W(0) self term make the sweep seed-free;
     the wall's W*V sum is converted to the reference's m_k/rho0_k
@@ -616,18 +631,19 @@ def density_summation_p2(fb, nbr_inner, wall_jt, wflags, kernel, rho0: float,
     fluid particles (the dambreak/TG family)."""
     from sphinxsys_tpu.ops import pallas_block2 as pb2
 
-    bx, by = _box_xy(box)
+    bx, by, bz = _box_xy(box)
     pos, mask = fb["Position"], fb["SlotMask"]
     c = nbr_inner.shape[0]
     packed_j = jnp.concatenate([pos, mask.astype(pos.dtype)[..., None]],
-                               axis=-1)               # [x, y, slot-mask]
-    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y)
-    xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T], 0)
+                               axis=-1)               # [pos, slot-mask]
+    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
+    xi_t = jnp.stack([pos[:c, :, k].T for k in range(dim)], 0)
     sig, sigw = pb2.density_sweep_t(xi_t, xj_t, wall_jt, wflags,
                                     inv_h=1.0 / kernel.h,
-                                    factor_w=kernel._factor_w(2),
+                                    factor_w=kernel._factor_w(dim),
                                     tile_c=tile_c, interpret=interpret,
-                                    box_x=bx, box_y=by)
+                                    box_x=bx, box_y=by, box_z=bz, dim=dim,
+                                    wall_static=wall_static)
     # density_summation_b: rho_sum = (w0 + sum W) rho0/sigma0
     #                      + [sum_k W m_k/rho0_k] rho0^2/(sigma0 m_i)
     # the kernel's fluid sum counts the self pair as exactly W(0) = w0, and
@@ -757,35 +773,38 @@ def visc_tvc_p2(fb, nbr_inner, wall_jt, wflags, kernel, dim: int, mu: float,
                 smoothing_length: float, tvc_coefficient: float = 0.2,
                 tvc_limiter_slope: float | None = None, tile_c: int = 256,
                 interpret: bool = False, box=None, roll_y: bool = True,
-                do_viscous: bool = True, do_tvc: bool = True):
+                do_viscous: bool = True, do_tvc: bool = True,
+                wall_static: bool = False):
     """Pallas v2 fused twin of viscous_force_b + transport_velocity_
     correction_b (one window sweep computes both; ops/pallas_block2.py
     visc_tvc_sweep_t).  Padding slots must carry VOL = 0."""
     from sphinxsys_tpu.ops import pallas_block2 as pb2
 
-    bx, by = _box_xy(box)
+    bx, by, bz = _box_xy(box)
     pos, vel, mask = fb["Position"], fb["Velocity"], fb["SlotMask"]
     vol = fb["VolumetricMeasure"]
     c = nbr_inner.shape[0]
 
     packed_j = jnp.concatenate([pos, vel, vol[..., None]], axis=-1)
-    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y)
-    xi_t = jnp.stack([pos[:c, :, 0].T, pos[:c, :, 1].T,
-                      vel[:c, :, 0].T, vel[:c, :, 1].T], 0)
-    fvx, fvy, ix, iy = pb2.visc_tvc_sweep_t(
+    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
+    xi_t = jnp.stack([pos[:c, :, k].T for k in range(dim)]
+                     + [vel[:c, :, k].T for k in range(dim)], 0)
+    outs = pb2.visc_tvc_sweep_t(
         xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
-        factor_w=kernel._factor_w(2), eps_r=0.01 * smoothing_length,
-        tile_c=tile_c, interpret=interpret, box_x=bx, box_y=by)
+        factor_w=kernel._factor_w(dim), eps_r=0.01 * smoothing_length,
+        tile_c=tile_c, interpret=interpret, box_x=bx, box_y=by, box_z=bz,
+        dim=dim, wall_static=wall_static)
+    fvs, ivs = outs[:dim], outs[dim:]
 
     out = dict(fb)
     if do_viscous:
-        force = 2.0 * mu * jnp.stack([fvx.T, fvy.T], -1) * vol[:c][..., None]
+        force = 2.0 * mu * jnp.stack([f.T for f in fvs], -1) * vol[:c][..., None]
         force_full = jnp.concatenate([force, jnp.zeros_like(vel[c:])], axis=0)
         prev = fb.get("ViscousForcePrev", jnp.zeros_like(force_full))
         out["ForcePrior"] = fb["ForcePrior"] + force_full - prev
         out["ViscousForcePrev"] = force_full
     if do_tvc:
-        incon = jnp.stack([ix.T, iy.T], -1)
+        incon = jnp.stack([iv.T for iv in ivs], -1)
         h2 = smoothing_length * smoothing_length
         if tvc_limiter_slope is not None:
             sq = jnp.sum(incon ** 2, axis=-1)

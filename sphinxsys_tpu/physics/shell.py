@@ -214,6 +214,12 @@ def make_shell_state(pos, normal, spacing: float, thickness: float, material,
     n, dim = pos.shape
     vol = spacing ** (dim - 1)
     state = dict(make_base_state(pos, vol, material.rho0, dtype=dtype))
+    # Mass carries the thickness factor (surface_particles.h:52
+    # ParticleVolume = Vol * thickness): VolumetricMeasure stays the
+    # mid-surface AREA, so external (coupling) forces divide by the TRUE
+    # mass; the internal stress-relaxation accelerations cancel Mass and
+    # are unchanged.
+    state["Mass"] = state["Mass"] * jnp.asarray(thickness, dtype=dtype)
     normal = jnp.asarray(np.asarray(normal), dtype=dtype)
     zeros_v = jnp.zeros((n, dim), dtype=dtype)
     eye = jnp.broadcast_to(jnp.eye(dim, dtype=dtype), (n, dim, dim))
@@ -443,3 +449,21 @@ def shell_acoustic_time_step(shell: State, material, smoothing_length: float,
          (1.0 + 1.5 * (smoothing_length / th) ** 2)))
     per = jnp.minimum(jnp.minimum(t0, t1), t2)
     return cfl * jnp.min(per)
+
+
+def update_shell_normal(shell: State) -> State:
+    """UpdateShellNormalDirection (thin_structure_dynamics.cpp): the current
+    mid-surface normal from the LOCAL deformation gradient, rotated back to
+    the global frame (getNormalFromDeformationGradientTensor)."""
+    out = dict(shell)
+    F = shell["DeformationGradient"]          # local frame
+    dim = F.shape[-1]
+    if dim == 2:
+        c0 = F[..., :, 0]
+        v = jnp.stack([-c0[..., 1], c0[..., 0]], axis=-1)
+    else:
+        v = jnp.cross(F[..., :, 0], F[..., :, 1])
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1.0e-15)
+    Q0T = jnp.swapaxes(shell["TransformationMatrix0"], -1, -2)
+    out["NormalDirection"] = jnp.einsum("nij,nj->ni", Q0T, v)
+    return out

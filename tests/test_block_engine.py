@@ -119,3 +119,58 @@ def test_fsi2_pallas_matches_block_engine():
                                np.asarray(pb["Velocity"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(sa.solid["Position"]),
                                np.asarray(sb.solid["Position"]), atol=1e-5)
+
+
+def test_dambreak_3d_block_matches_gather_engine():
+    """The dim-generic block engine in 3D (27-window sweeps, cap 32) ==
+    the 3D gather engine over several dual-criteria advection steps."""
+    import jax
+    from sphinxsys_tpu.cases import dambreak_3d as db3
+    from sphinxsys_tpu.cases import dambreak_3d_block as dbb3
+
+    dx = 0.1
+    case_g, fluid_g = db3.build_case(dx=dx)
+    sg = db3.init_sim(case_g, fluid_g)
+    step_g = jax.jit(lambda s: db3._advection_step(case_g, s))
+
+    case_b, fluid_b = dbb3.build_case(dx=dx, tile_c=32)
+    sb = dbb3.init_sim(case_b, fluid_b)
+    step_b = dbb3.make_advection_step(case_b)
+
+    for _ in range(5):
+        sg = step_g(sg)
+        sb = step_b(sb)
+    assert not bool(sb.overflow)
+    assert int(sg.n_ac) == int(sb.n_ac)
+    pb = dbb3.blocks_to_particles(case_b, sb, case_b.base.n_fluid)
+    np.testing.assert_allclose(np.asarray(sg.fluid["Position"]),
+                               np.asarray(pb["Position"]), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sg.fluid["Velocity"]),
+                               np.asarray(pb["Velocity"]), atol=5e-4)
+
+
+def test_dambreak_3d_pallas_matches_block_engine():
+    """The dim-generic fused Pallas sweeps (27 windows, static-wall
+    7-channel tensor) == the 3D XLA block path (interpret mode)."""
+    from sphinxsys_tpu.cases import dambreak_3d_block as dbb3
+
+    case_a, fluid_a = dbb3.build_case(dx=0.1, tile_c=32)
+    sa = dbb3.init_sim(case_a, fluid_a)
+    step_a = dbb3.make_advection_step(case_a)
+
+    case_b, fluid_b = dbb3.build_case(dx=0.1, tile_c=32, use_pallas=True,
+                                      pallas_interpret=True)
+    sb = dbb3.init_sim(case_b, fluid_b)
+    step_b = dbb3.make_advection_step(case_b)
+
+    for _ in range(3):
+        sa = step_a(sa)
+        sb = step_b(sb)
+    assert not bool(sb.overflow)
+    assert int(sa.n_ac) == int(sb.n_ac)
+    pa = dbb3.blocks_to_particles(case_a, sa, case_a.base.n_fluid)
+    pb = dbb3.blocks_to_particles(case_b, sb, case_b.base.n_fluid)
+    np.testing.assert_allclose(np.asarray(pa["Velocity"]),
+                               np.asarray(pb["Velocity"]), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(pa["Density"]),
+                               np.asarray(pb["Density"]), atol=1e-4)
