@@ -107,7 +107,20 @@ class FarField:
     p: float
 
 
-def face_states(state, dm: DeviceMesh, far: FarField):
+@dataclasses.dataclass(frozen=True)
+class BCSpec:
+    """Per-case ghost-state policy (BoundaryConditionSetupInFVM
+    overrides, e.g. test_3d_FVM_incompressible_channel_flow.h:85-121).
+    Defaults reproduce the classic cylinder setup: bc 3/4/10/36 no-slip
+    walls, bc 7 symmetry mirror, bc 9/5 far field."""
+
+    wall_slip: bool = False       # bc 3: slip (reflective) mirror instead
+                                  # of no-slip — inviscid walls
+    inlet_vel: tuple | None = None  # bc 10: fixed velocity, copy p/rho
+    outlet_p: float | None = None   # bc 5: fixed pressure, copy vel/rho
+
+
+def face_states(state, dm: DeviceMesh, far: FarField, bc: BCSpec = BCSpec()):
     """Left (owner) and right (neighbor-or-ghost) primitive states per
     face."""
     rho, vel, p = state["Density"], state["Velocity"], state["Pressure"]
@@ -115,17 +128,34 @@ def face_states(state, dm: DeviceMesh, far: FarField):
     rho_r, vel_r, p_r = rho[dm.neigh], vel[dm.neigh], p[dm.neigh]
 
     bt = dm.btype
-    wall = ~dm.interior & ((bt == 3) | (bt == 4) | (bt == 10) | (bt == 36))
+    wall = ~dm.interior & ((bt == 3) | (bt == 4) | (bt == 36))
+    if bc.inlet_vel is None:
+        wall = wall | (~dm.interior & (bt == 10))
     sym = ~dm.interior & (bt == 7)
-    farf = ~dm.interior & ((bt == 9) | (bt == 5))
+    farf = ~dm.interior & (bt == 9)
+    if bc.outlet_p is None:
+        farf = farf | (~dm.interior & (bt == 5))
 
     vn = jnp.sum(vel_l * dm.normal, axis=-1, keepdims=True)
-    vel_r = jnp.where(wall[:, None], -vel_l, vel_r)
-    vel_r = jnp.where(sym[:, None], vel_l - 2.0 * vn * dm.normal, vel_r)
+    mirror = vel_l - 2.0 * vn * dm.normal
+    vel_r = jnp.where(wall[:, None], mirror if bc.wall_slip else -vel_l,
+                      vel_r)
+    vel_r = jnp.where(sym[:, None], mirror, vel_r)
     vel_r = jnp.where(farf[:, None],
                       jnp.asarray(far.vel, vel_l.dtype)[None, :], vel_r)
     rho_r = jnp.where(farf, far.rho, rho_r)
     p_r = jnp.where(farf, far.p, p_r)
+    # non-far boundary ghosts already copy the interior rho/p: to_device
+    # clamps boundary `neigh` to the owner
+    if bc.inlet_vel is not None:
+        inlet = ~dm.interior & (bt == 10)
+        vel_r = jnp.where(inlet[:, None],
+                          jnp.asarray(bc.inlet_vel, vel_l.dtype)[None, :],
+                          vel_r)
+    if bc.outlet_p is not None:
+        outlet = ~dm.interior & (bt == 5)
+        vel_r = jnp.where(outlet[:, None], vel_l, vel_r)
+        p_r = jnp.where(outlet, jnp.asarray(bc.outlet_p, p_l.dtype), p_r)
     return (rho_l, vel_l, p_l), (rho_r, vel_r, p_r)
 
 
@@ -143,17 +173,18 @@ def wc_acoustic_dt(state, eos, dm: DeviceMesh, cfl: float = 0.6):
     return cfl * dm.min_edge / (jnp.max(c + speed) + TINY)
 
 
-def viscous_force(state, dm: DeviceMesh, far: FarField, mu: float):
+def viscous_force(state, dm: DeviceMesh, far: FarField, mu: float,
+                  bc: BCSpec = BCSpec()):
     """ViscousForceInner over the FVM relation: per face
     F = mu (v_r - v_l) / r_eff * A, reduced per cell (the ghost right state
     gives the non-slip wall shear)."""
-    (_, vel_l, _), (_, vel_r, _) = face_states(state, dm, far)
+    (_, vel_l, _), (_, vel_r, _) = face_states(state, dm, far, bc)
     f = mu * (vel_r - vel_l) / dm.r_eff[:, None] * dm.area[:, None]
     return _cell_reduce(dm, f)        # (C, d) force (sign: + accelerates)
 
 
 def wc_integration_step(state, dm: DeviceMesh, eos, riemann, far: FarField,
-                        dt, mu: float = 0.0):
+                        dt, mu: float = 0.0, bc: BCSpec = BCSpec()):
     """One conservative Eulerian WCSPH step: the reference splits it into
     EulerianIntegration1stHalf (momentum, interface p* v*) and 2ndHalf
     (mass, rho* v*) executed back to back with the same dt — combined here
@@ -163,7 +194,7 @@ def wc_integration_step(state, dm: DeviceMesh, eos, riemann, far: FarField,
     d(rho)/dt   = -(1/V) sum_f rho* (v*.n) A
     d(rho v)/dt = -(1/V) sum_f [rho* v* (v*.n) + p* n] A  + F_visc/V
     """
-    (rho_l, vel_l, p_l), (rho_r, vel_r, p_r) = face_states(state, dm, far)
+    (rho_l, vel_l, p_l), (rho_r, vel_r, p_r) = face_states(state, dm, far, bc)
     # interface_state's e_ij points j -> i = INTO the owner = -normal
     e_ij = -dm.normal
     rho_s, vel_s, p_s = interface_state(riemann, rho_l, vel_l, p_l,
@@ -183,7 +214,7 @@ def wc_integration_step(state, dm: DeviceMesh, eos, riemann, far: FarField,
     mom_new = mom - dt * inv_v[:, None] * div_mom
     if mu != 0.0:
         mom_new = mom_new + dt * inv_v[:, None] * viscous_force(
-            state, dm, far, mu)
+            state, dm, far, mu, bc)
     vel_new = mom_new / jnp.maximum(rho_new, TINY)[:, None]
     out = dict(state)
     out["Density"] = rho_new

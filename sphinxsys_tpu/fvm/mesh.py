@@ -29,9 +29,13 @@ import numpy as np
 class RawMesh:
     dim: int
     nodes: np.ndarray          # (N, d)
-    face_nodes: np.ndarray     # (F, 2) int, 0-based
+    face_nodes: np.ndarray     # (F, 2) 2D / (F, 4) 3D int, 0-based; 3D rows
+                               # are padded CYCLICALLY (triangles repeat
+                               # their first node) so fan triangulation
+                               # adds a zero-area triangle
     face_cells: np.ndarray     # (F, 2) int, 0-based, -1 = boundary side
     face_btype: np.ndarray     # (F,) Fluent bc id of the face's section
+    face_nnodes: np.ndarray | None = None   # (F,) 3D: real node count
 
 
 def _hex(tok: str) -> int:
@@ -100,10 +104,17 @@ def read_fluent_msh(path: str) -> RawMesh:
                 continue
         i += 1
 
-    return RawMesh(dim=dim or 2, nodes=np.asarray(nodes, np.float64),
-                   face_nodes=np.asarray(face_nodes, np.int64),
+    dim = dim or 2
+    nn_arr = np.asarray([len(f) for f in face_nodes], np.int64)
+    width = 2 if dim == 2 else 4
+    fn_arr = np.empty((len(face_nodes), width), np.int64)
+    for k, f in enumerate(face_nodes):     # cyclic pad (see RawMesh)
+        fn_arr[k] = (f + f)[:width]
+    return RawMesh(dim=dim, nodes=np.asarray(nodes, np.float64),
+                   face_nodes=fn_arr,
                    face_cells=np.asarray(face_cells, np.int64),
-                   face_btype=np.asarray(face_btype, np.int64))
+                   face_btype=np.asarray(face_btype, np.int64),
+                   face_nnodes=nn_arr)
 
 
 @dataclasses.dataclass
@@ -139,15 +150,52 @@ class FVMesh:
 def compile_mesh(raw: RawMesh) -> FVMesh:
     nodes, fn, fc = raw.nodes, raw.face_nodes, raw.face_cells
     dim = raw.dim
-    assert dim == 2, "3D face compilation lands with the 3D FVM cases"
     F = len(fn)
-    p0, p1 = nodes[fn[:, 0]], nodes[fn[:, 1]]
-    seg = p1 - p0
-    area = np.linalg.norm(seg, axis=1)
-    normal = np.stack([seg[:, 1], -seg[:, 0]], axis=1) / area[:, None]
-    mid = 0.5 * (p0 + p1)
-
     n_cells = int(fc.max()) + 1
+
+    if dim == 2:
+        p0, p1 = nodes[fn[:, 0]], nodes[fn[:, 1]]
+        seg = p1 - p0
+        area = np.linalg.norm(seg, axis=1)
+        normal = np.stack([seg[:, 1], -seg[:, 0]], axis=1) / area[:, None]
+        mid = 0.5 * (p0 + p1)
+        min_edge = float(area.min())
+    else:
+        # tri/quad faces, cyclically padded to 4 nodes: fan-triangulate
+        # around the vertex mean (exact for planar faces, standard for
+        # mildly warped quads); Newell area vectors per triangle
+        verts = nodes[fn]                            # (F, 4, 3)
+        nnf = raw.face_nnodes
+        if nnf is None:
+            nnf = np.full(F, 4, np.int64)
+        vmask = (np.arange(4)[None, :] < nnf[:, None])
+        ctr = np.sum(verts * vmask[..., None], axis=1) / nnf[:, None]
+        av = np.zeros((F, 3))
+        vflux = np.zeros(F)                          # sum_tri t_av . t_c
+        mom_face = np.zeros((F, 3))                  # sum_tri t_av_i sq_i/6
+        cmid = np.zeros((F, 3))
+        wsum = np.zeros(F)
+        edge_len = []
+        for k in range(4):
+            a = verts[:, k]
+            b = verts[:, (k + 1) % 4]
+            t_av = 0.5 * np.cross(a - ctr, b - ctr)
+            t_c = (ctr + a + b) / 3.0
+            w = np.linalg.norm(t_av, axis=1)
+            av += t_av
+            vflux += np.sum(t_av * t_c, axis=1)
+            m01, m12, m20 = (ctr + a) / 2, (a + b) / 2, (b + ctr) / 2
+            mom_face += t_av * (m01 * m01 + m12 * m12 + m20 * m20) / 6.0
+            cmid += w[:, None] * t_c
+            wsum += w
+            edge_len.append(np.linalg.norm(b - a, axis=1))  # pad edges = 0,
+            # filtered by the > 1e-12 mask below
+        area = np.linalg.norm(av, axis=1)
+        normal = av / area[:, None]
+        mid = cmid / wsum[:, None]
+        e = np.stack(edge_len)
+        min_edge = float(e[e > 1e-12].min())
+
     # provisional centroid (mean of face mids) to orient normals
     cnt = np.zeros(n_cells)
     acc = np.zeros((n_cells, dim))
@@ -167,14 +215,25 @@ def compile_mesh(raw: RawMesh) -> FVMesh:
     # exact volumes and centroids by the divergence theorem
     volumes = np.zeros(n_cells)
     cmoment = np.zeros((n_cells, dim))
-    for cell_col, sgn in ((owner, 1.0), (neigh, -1.0)):
-        sel = cell_col >= 0
-        c = cell_col[sel]
-        w = sgn * area[sel]
-        np.add.at(volumes, c, w * np.sum(normal[sel] * mid[sel], axis=1) / dim)
-        x0, x1 = p0[sel], p1[sel]
-        sq = (x0 * x0 + x0 * x1 + x1 * x1) / 6.0     # int x^2/2 over the face
-        np.add.at(cmoment, c, (w[:, None] * normal[sel]) * sq)
+    if dim == 2:
+        for cell_col, sgn in ((owner, 1.0), (neigh, -1.0)):
+            sel = cell_col >= 0
+            c = cell_col[sel]
+            w = sgn * area[sel]
+            np.add.at(volumes, c,
+                      w * np.sum(normal[sel] * mid[sel], axis=1) / dim)
+            x0, x1 = p0[sel], p1[sel]
+            sq = (x0 * x0 + x0 * x1 + x1 * x1) / 6.0  # int x^2/2 over face
+            np.add.at(cmoment, c, (w[:, None] * normal[sel]) * sq)
+    else:
+        # flip negates the triangle-accumulated flux/moment terms too
+        osign = np.where(flip, -1.0, 1.0)
+        for cell_col, sgn in ((owner, 1.0), (neigh, -1.0)):
+            sel = cell_col >= 0
+            c = cell_col[sel]
+            w = sgn * osign[sel]
+            np.add.at(volumes, c, w * vflux[sel] / 3.0)
+            np.add.at(cmoment, c, w[:, None] * mom_face[sel])
     centroids = cmoment / volumes[:, None]
 
     # r_eff (unstructured_mesh_2d.cpp:199-211)

@@ -1,8 +1,9 @@
-"""Narrow-band packaged level-set field (TPU-native).
+"""Narrow-band packaged level-set field (TPU-native, dimension-generic).
 
 Counterpart of the reference's LevelSet on SparseMeshField<4>
 (mesh_dynamics/level_set_dynamics/level_set.{h,hpp} + level_set_correction
-+ level_set_transformation) and LevelSetShape
++ level_set_transformation, dim-generic like
+src/shared/meshes/sparse_mesh/sparse_mesh_field.h:78) and LevelSetShape
 (geometries/level_set_shape.{h,cpp}).
 
 The reference stores 4^d-cell data packages sparsely (pointer-chased,
@@ -10,11 +11,12 @@ allocated only near the interface) and runs package-local CPU kernels with
 a cell-neighborhood indirection per stencil tap.  The TPU-native layout
 keeps the same two-level structure — a coarse package grid whose occupied
 (near-band) packages are the only ones holding data — but stores them as
-ONE dense (P, 4, 4) array plus two constant far-field sentinel packages
-(+big / -big).  Every mesh dynamic (reinitialization sweeps, gradients,
-kernel integrals) first materializes a (P, 12, 12) halo view by gathering
-each package's 3^d neighbors (pure gathers — the package-neighbor table is
-precomputed), then runs dense vectorized stencils; XLA fuses the lot.
+ONE dense (P,) + (4,)*d array plus two constant far-field sentinel
+packages (+big / -big).  Every mesh dynamic (reinitialization sweeps,
+gradients, kernel integrals) first materializes a (P,) + (12,)*d halo view
+by gathering each package's 3^d neighbors (pure gathers — the
+package-neighbor table is precomputed), then runs dense vectorized
+stencils; XLA fuses the lot.
 
 Conventions follow the reference exactly:
   * phi < 0 inside the shape, > 0 outside;
@@ -28,6 +30,7 @@ Conventions follow the reference exactly:
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Any
 
 import jax
@@ -39,22 +42,31 @@ FAR = 1.0e3      # far-field sentinel magnitude (scaled by spacing later)
 TINY = 1.0e-15
 
 
+def _center_slices(dim, off):
+    """Halo slices selecting the center package shifted by `off` (len dim)."""
+    return tuple(slice(PKG + o, 2 * PKG + o) for o in off)
+
+
 @dataclasses.dataclass(frozen=True)
 class LevelSet:
-    """Packaged level-set field.  phi has shape (P+2, PKG, PKG): the last
-    two rows are the constant far-field packages (index P: +far, P+1:
-    -far).  pkg_nbr (P, 3, 3) holds package indices of the 3x3 coarse
-    neighborhood (pointing into the extended array)."""
+    """Packaged level-set field.  phi has shape (P+2,) + (PKG,)*dim: the
+    last two rows are the constant far-field packages (index P: +far,
+    P+1: -far).  pkg_nbr (P,) + (3,)*dim holds package indices of the
+    3^dim coarse neighborhood (pointing into the extended array)."""
 
     spacing: float
-    lower: Any               # (2,) fine-grid origin (cell-center of cell 0,0)
-    n_pkg: Any               # (2,) coarse grid dims
-    coarse_map: Any          # (n_pkg_x * n_pkg_y,) -> package row or sentinel
-    pkg_coord: Any           # (P, 2) coarse coordinates of each package
-    pkg_nbr: Any             # (P, 3, 3)
-    phi: Any                 # (P+2, PKG, PKG)
-    kernel_w: Any | None = None     # (P+2, PKG, PKG)
-    kernel_gw: Any | None = None    # (P+2, PKG, PKG, 2)
+    lower: Any               # (dim,) fine-grid origin
+    n_pkg: Any               # (dim,) coarse grid dims
+    coarse_map: Any          # (prod n_pkg,) -> package row or sentinel
+    pkg_coord: Any           # (P, dim) coarse coordinates of each package
+    pkg_nbr: Any             # (P,) + (3,)*dim
+    phi: Any                 # (P+2,) + (PKG,)*dim
+    kernel_w: Any | None = None
+    kernel_gw: Any | None = None
+
+    @property
+    def dim(self) -> int:
+        return len(self.n_pkg)
 
     @property
     def n_inner(self) -> int:
@@ -62,75 +74,97 @@ class LevelSet:
 
     # ------------------------------------------------------------------
     def halo(self, field=None):
-        """(P+2, 3*PKG, 3*PKG[, c]) halo view: each inner package tiled
-        with its 3x3 package neighborhood (the TPU replacement for the
-        reference's per-tap CellNeighborhood indirection); the two
+        """(P+2,) + (3*PKG,)*dim [+ (c,)] halo view: each inner package
+        tiled with its 3^dim package neighborhood (the TPU replacement for
+        the reference's per-tap CellNeighborhood indirection); the two
         far-field sentinel rows are tiled constants so probes landing in
         far packages read the correct far value."""
+        dim = self.dim
         f = self.phi if field is None else field
-        g = f[self.pkg_nbr]                       # (P, 3, 3, PKG, PKG, ...)
-        g = jnp.moveaxis(g, 3, 2)                 # (P, 3, PKG, 3, PKG, ...)
-        inner = g.reshape((g.shape[0], 3 * PKG, 3 * PKG) + f.shape[3:])
-        reps = (3, 3) + (1,) * (f.ndim - 3)
+        g = f[self.pkg_nbr]             # (P,) + (3,)*d + (PKG,)*d + extra
+        # interleave (n_k, c_k) axis pairs: target axes P, n1,c1, n2,c2, ...
+        perm = [0]
+        for k in range(dim):
+            perm += [1 + k, 1 + dim + k]
+        perm += list(range(1 + 2 * dim, g.ndim))
+        g = jnp.transpose(g, perm)
+        extra = f.shape[1 + dim:]
+        inner = g.reshape((g.shape[0],) + (3 * PKG,) * dim + extra)
+        reps = (3,) * dim + (1,) * len(extra)
         far = jnp.stack([jnp.tile(f[-2], reps), jnp.tile(f[-1], reps)])
         return jnp.concatenate([inner, far], axis=0)
 
     # -- probes ---------------------------------------------------------
     def _locate(self, pts):
         """query points -> (package row, in-package cell float coords)."""
-        rel = (pts - self.lower) / self.spacing   # fine cell-center coords
+        dim = self.dim
+        rel = (pts - self.lower) / self.spacing
         cell = jnp.floor(rel).astype(jnp.int32)
-        pkg_xy = jnp.floor_divide(cell, PKG)
-        pkg_xy = jnp.clip(pkg_xy, 0, jnp.asarray(self.n_pkg) - 1)
-        flat = pkg_xy[..., 0] * self.n_pkg[1] + pkg_xy[..., 1]
+        pkg = jnp.clip(jnp.floor_divide(cell, PKG), 0,
+                       jnp.asarray(self.n_pkg) - 1)
+        flat = pkg[..., 0]
+        for k in range(1, dim):
+            flat = flat * self.n_pkg[k] + pkg[..., k]
         row = self.coarse_map[flat]
-        local = rel - pkg_xy * PKG                # in [0, PKG)
+        local = rel - pkg * PKG
         return row, local
 
-    def _bilinear(self, field, pts):
+    def _multilinear(self, field, pts):
+        """dim-linear interpolation on the halo view."""
+        dim = self.dim
         row, local = self._locate(pts)
-        h = self.halo(field)[row]                 # (..., 12, 12[, c])
-        x = local[..., 0] + PKG - 0.5             # halo coords of the point
-        y = local[..., 1] + PKG - 0.5
-        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, 3 * PKG - 2)
-        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, 3 * PKG - 2)
-        fx = jnp.clip(x - x0, 0.0, 1.0)[..., None] if field.ndim > 3 else jnp.clip(x - x0, 0.0, 1.0)
-        fy = jnp.clip(y - y0, 0.0, 1.0)[..., None] if field.ndim > 3 else jnp.clip(y - y0, 0.0, 1.0)
+        h = self.halo(field)[row]              # (..., 12^d [, c])
+        extra = field.ndim - 1 - dim
+        x = [local[..., k] + PKG - 0.5 for k in range(dim)]
+        x0 = [jnp.clip(jnp.floor(c).astype(jnp.int32), 0, 3 * PKG - 2)
+              for c in x]
+        fr = [jnp.clip(c - c0, 0.0, 1.0) for c, c0 in zip(x, x0)]
+        if extra:
+            fr = [f[..., None] for f in fr]
         b = jnp.arange(row.shape[0]) if row.ndim == 1 else None
-        g = lambda i, j: h[jnp.arange(h.shape[0]), i, j] if b is not None else h[i, j]
-        v00 = g(x0, y0)
-        v10 = g(x0 + 1, y0)
-        v01 = g(x0, y0 + 1)
-        v11 = g(x0 + 1, y0 + 1)
-        return ((1 - fx) * (1 - fy) * v00 + fx * (1 - fy) * v10
-                + (1 - fx) * fy * v01 + fx * fy * v11)
+        out = 0.0
+        for corner in itertools.product((0, 1), repeat=dim):
+            idx = tuple(c0 + o for c0, o in zip(x0, corner))
+            v = h[(b,) + idx] if b is not None else h[idx]
+            w = 1.0
+            for f, o in zip(fr, corner):
+                w = w * (f if o else (1.0 - f))
+            out = out + w * v
+        return out
 
     def probe_signed_distance(self, pts):
         """probeSignedDistance (level_set.h:64)."""
-        return self._bilinear(self.phi, pts)
+        return self._multilinear(self.phi, pts)
 
     def probe_normal_direction(self, pts):
         """probeNormalDirection: normalized interpolated phi gradient."""
         g = self.gradient()
-        gv = self._bilinear(g, pts)
+        gv = self._multilinear(g, pts)
         return gv / (jnp.linalg.norm(gv, axis=-1, keepdims=True) + TINY)
 
     def probe_kernel_integral(self, pts):
-        return self._bilinear(self.kernel_w, pts)
+        return self._multilinear(self.kernel_w, pts)
 
     def probe_kernel_gradient_integral(self, pts):
-        return self._bilinear(self.kernel_gw, pts)
+        return self._multilinear(self.kernel_gw, pts)
 
     # -- mesh dynamics --------------------------------------------------
+    def _shift(self, h, axis, off):
+        """Center package of the halo shifted by `off` cells along `axis`."""
+        dim = self.dim
+        sl = [slice(None)]
+        for k in range(dim):
+            sl.append(slice(PKG + (off if k == axis else 0),
+                            2 * PKG + (off if k == axis else 0)))
+        return h[tuple(sl)]
+
     def gradient(self):
-        """Central-difference phi gradient per cell, (P+2, PKG, PKG, 2)."""
+        """Central-difference phi gradient per cell,
+        (P+2,) + (PKG,)*d + (d,)."""
         h = self.halo()[:self.n_inner]
-        c = slice(PKG, 2 * PKG)
-        gx = (h[:, PKG + 1:2 * PKG + 1, c] - h[:, PKG - 1:2 * PKG - 1, c]) \
-            / (2.0 * self.spacing)
-        gy = (h[:, c, PKG + 1:2 * PKG + 1] - h[:, c, PKG - 1:2 * PKG - 1]) \
-            / (2.0 * self.spacing)
-        g = jnp.stack([gx, gy], axis=-1)
+        comps = [(self._shift(h, k, 1) - self._shift(h, k, -1))
+                 / (2.0 * self.spacing) for k in range(self.dim)]
+        g = jnp.stack(comps, axis=-1)
         pad = jnp.zeros((2,) + g.shape[1:], g.dtype)
         return jnp.concatenate([g, pad], axis=0)
 
@@ -139,17 +173,13 @@ class LevelSet:
         upwind iteration toward |grad phi| = 1, interface anchored by the
         smoothed sign."""
         dx = self.spacing
+        dim = self.dim
 
         def body(phi, _):
             ls = dataclasses.replace(self, phi=phi)
             h = ls.halo()[:ls.n_inner]
-            c = slice(PKG, 2 * PKG)
-            p0 = h[:, c, c]
+            p0 = self._shift(h, 0, 0)
             sign = p0 / jnp.sqrt(p0 * p0 + dx * dx)
-            dxp = (h[:, PKG + 1:2 * PKG + 1, c] - p0) / dx
-            dxm = (p0 - h[:, PKG - 1:2 * PKG - 1, c]) / dx
-            dyp = (h[:, c, PKG + 1:2 * PKG + 1] - p0) / dx
-            dym = (p0 - h[:, c, PKG - 1:2 * PKG - 1]) / dx
 
             def upwind(sign, dp, dm):
                 # upwindDifference (level_set_correction.hpp:20-38)
@@ -163,37 +193,42 @@ class LevelSet:
                                  jnp.where(both_m, dp,
                                            jnp.where(mixed_out, 0.0, inward)))
 
-            gx = upwind(sign, dxp, dxm)
-            gy = upwind(sign, dyp, dym)
-            norm = jnp.sqrt(gx * gx + gy * gy + TINY)
-            upd = p0 - sign * (norm * dx - dx) / 2.0
+            norm2 = TINY
+            for k in range(dim):
+                dp = (self._shift(h, k, 1) - p0) / dx
+                dm = (p0 - self._shift(h, k, -1)) / dx
+                gk = upwind(sign, dp, dm)
+                norm2 = norm2 + gk * gk
+            norm = jnp.sqrt(norm2)
+            upd = p0 - sign * (norm * dx - dx) / float(dim)
             phi = phi.at[:-2].set(upd)
             return phi, None
 
         phi, _ = jax.lax.scan(body, self.phi, None, length=iterations)
         return dataclasses.replace(self, phi=phi)
 
-    def update_kernel_integrals(self, kernel, dim: int = 2) -> "LevelSet":
+    def update_kernel_integrals(self, kernel, dim: int | None = None
+                                ) -> "LevelSet":
         """UpdateKernelIntegrals (level_set_transformation.hpp:50-130):
         per cell, integral of W (and grad W) over the positive-phi region
         within the kernel cutoff, with cut-cell volume fractions."""
+        dim = dim or self.dim
         dx = self.spacing
-        cutoff_cells = float(kernel.cutoff) / dx   # support radius in cells
-        cutoff = cutoff_cells
+        cutoff = float(kernel.cutoff) / dx       # support radius in cells
         m = int(np.ceil(cutoff))
         assert m <= PKG, "kernel support exceeds one package halo"
         h = self.halo()[:self.n_inner]
         grad = self.halo(self.gradient())[:self.n_inner]
-        c0 = PKG
 
-        phi_c = h[:, c0:c0 + PKG, c0:c0 + PKG]
+        phi_c = h[(slice(None),) + _center_slices(dim, (0,) * dim)]
         wsum = jnp.zeros_like(phi_c)
-        gsum = jnp.zeros(phi_c.shape + (2,), phi_c.dtype)
-        offs = [(i, j) for i in range(-m, m + 1) for j in range(-m, m + 1)
-                if (i * i + j * j) <= (cutoff + 1e-9) ** 2]
-        for (i, j) in offs:
-            pn = h[:, c0 + i:c0 + i + PKG, c0 + j:c0 + j + PKG]
-            gn = grad[:, c0 + i:c0 + i + PKG, c0 + j:c0 + j + PKG]
+        gsum = jnp.zeros(phi_c.shape + (dim,), phi_c.dtype)
+        offs = [o for o in itertools.product(range(-m, m + 1), repeat=dim)
+                if sum(c * c for c in o) <= (cutoff + 1e-9) ** 2]
+        for off in offs:
+            sl = (slice(None),) + _center_slices(dim, off)
+            pn = h[sl]
+            gn = grad[sl]
             g2 = jnp.sum(gn * gn, axis=-1) + TINY
             frac = jnp.zeros_like(pn)
             for ax in range(dim):
@@ -201,12 +236,12 @@ class LevelSet:
                               / (0.5 * dx), 0.0, 1.0)
                 frac = frac + gn[..., ax] ** 2 / g2 * hv
             frac = jnp.where(pn > -dx, frac, 0.0)
-            disp = np.asarray([-i * dx, -j * dx])
-            r = float(np.hypot(i, j)) * dx
+            r = float(np.linalg.norm(off)) * dx
             w = float(kernel.W(jnp.asarray(r), dim))
             wsum = wsum + w * frac
             if r > TINY:
-                e = jnp.asarray(disp / r, phi_c.dtype)
+                e = jnp.asarray(np.asarray([-c * dx for c in off]) / r,
+                                phi_c.dtype)
                 dw = float(kernel.dW(jnp.asarray(r), dim))
                 gsum = gsum + (dw * frac)[..., None] * e
         scale = dx ** dim
@@ -234,22 +269,22 @@ def build_levelset(shape, lower, upper, spacing: float,
     """Build the packaged field from a Shape (LevelSetShape ctor +
     FinishDataPackages): packages whose center is within `band_width`
     (default 6 spacings + package diagonal) of the interface hold data;
-    everything else maps to the +/- far-field sentinels."""
+    everything else maps to the +/- far-field sentinels.  Dimension comes
+    from len(lower) (2 or 3)."""
     from sphinxsys_tpu.utils.hosteval import host_eval
 
     lo = np.asarray(lower, np.float64)
     hi = np.asarray(upper, np.float64)
+    dim = len(lo)
     n_cells = np.ceil((hi - lo) / spacing).astype(int)
     n_pkg = -(-n_cells // PKG)          # ceil division
     band = band_width or (6.0 + PKG) * spacing
 
     # package centers
-    px, py = np.meshgrid(np.arange(n_pkg[0]), np.arange(n_pkg[1]),
-                         indexing="ij")
-    centers = lo + (np.stack([px, py], -1).reshape(-1, 2) + 0.5) \
-        * (PKG * spacing)
-    sd_c = np.asarray(host_eval(shape.signed_distance,
-                                jnp.asarray(centers)))
+    grids = np.meshgrid(*[np.arange(n) for n in n_pkg], indexing="ij")
+    coords = np.stack(grids, -1).reshape(-1, dim)
+    centers = lo + (coords + 0.5) * (PKG * spacing)
+    sd_c = np.asarray(host_eval(shape.signed_distance, jnp.asarray(centers)))
     occupied = np.abs(sd_c) < band
     pkg_rows = np.nonzero(occupied)[0]
     P = len(pkg_rows)
@@ -257,27 +292,26 @@ def build_levelset(shape, lower, upper, spacing: float,
     coarse_map = np.where(sd_c >= 0, P, P + 1).astype(np.int64)  # far +/-
     coarse_map[pkg_rows] = np.arange(P)
 
-    pkg_coord = np.stack([pkg_rows // n_pkg[1], pkg_rows % n_pkg[1]], -1)
+    pkg_coord = coords[pkg_rows]
+    strides = np.array([int(np.prod(n_pkg[k + 1:])) for k in range(dim)])
 
     # neighbor package table (clamped at the domain edge)
-    nbr = np.empty((P, 3, 3), np.int64)
-    for di in (-1, 0, 1):
-        for dj in (-1, 0, 1):
-            ci = np.clip(pkg_coord[:, 0] + di, 0, n_pkg[0] - 1)
-            cj = np.clip(pkg_coord[:, 1] + dj, 0, n_pkg[1] - 1)
-            nbr[:, di + 1, dj + 1] = coarse_map[ci * n_pkg[1] + cj]
+    nbr = np.empty((P,) + (3,) * dim, np.int64)
+    for off in itertools.product((-1, 0, 1), repeat=dim):
+        c = [np.clip(pkg_coord[:, k] + off[k], 0, n_pkg[k] - 1)
+             for k in range(dim)]
+        flat = sum(c[k] * strides[k] for k in range(dim))
+        nbr[(slice(None),) + tuple(o + 1 for o in off)] = coarse_map[flat]
 
     # fine phi for occupied packages
-    ox = (pkg_coord[:, 0] * PKG)[:, None, None]
-    oy = (pkg_coord[:, 1] * PKG)[:, None, None]
-    ii, jj = np.meshgrid(np.arange(PKG), np.arange(PKG), indexing="ij")
-    cx = lo[0] + (ox + ii[None] + 0.5) * spacing
-    cy = lo[1] + (oy + jj[None] + 0.5) * spacing
-    pts = np.stack([cx, cy], axis=-1).reshape(-1, 2)
-    phi_in = np.asarray(host_eval(shape.signed_distance,
-                                  jnp.asarray(pts)))
-    phi = np.empty((P + 2, PKG, PKG))
-    phi[:P] = phi_in.reshape(P, PKG, PKG)
+    cell = np.meshgrid(*[np.arange(PKG)] * dim, indexing="ij")
+    pts = np.stack([
+        lo[k] + (pkg_coord[:, k][(slice(None),) + (None,) * dim] * PKG
+                 + cell[k][None] + 0.5) * spacing
+        for k in range(dim)], axis=-1).reshape(-1, dim)
+    phi_in = np.asarray(host_eval(shape.signed_distance, jnp.asarray(pts)))
+    phi = np.empty((P + 2,) + (PKG,) * dim)
+    phi[:P] = phi_in.reshape((P,) + (PKG,) * dim)
     far = FAR * spacing
     phi[P] = far
     phi[P + 1] = -far

@@ -96,7 +96,7 @@ def _make_wrap(box):
 
 
 def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
-                factor_w, inv_rho0c0, box, wall_static):
+                factor_w, inv_rho0c0, box, wall_static, mode="both"):
     # o_refs = f_refs[0..dim) + (rd_ref,)
     wrap = _make_wrap(box)
     nw = _nw(dim)
@@ -107,14 +107,20 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
     for r in o_refs:
         r[...] = jnp.zeros((cap, t), jnp.float32)
 
-    # tiles beyond the occupied block range are all-sentinel: skip
-    @pl.when(wflag_ref[pl.program_id(0)] >= 0)
-    def _():
+    # tiles beyond the occupied block range are all-sentinel: skip;
+    # mode gating happens at TRACE time so a skipped branch emits no code
+    # (and costs no scoped VMEM)
+    def _inner():
         xi = xi_ref[...]                   # (2d+2, CAP, T)
         x_i = [xi[k][:, None, :] for k in range(dim)]
         p_i = xi[dim][:, None, :]
-        facc = [jnp.zeros((cap, capj, t), jnp.float32) for _ in range(dim)]
-        rda = jnp.zeros((cap, capj, t), jnp.float32)
+        # 2D: accumulate (cap, capj, t) and reduce once (fastest measured);
+        # 3D: reduce per window — the wide accumulators blow the 16M
+        # scoped-VMEM budget at 27 windows
+        wide = dim == 2
+        ash = (cap, capj, t) if wide else (cap, t)
+        facc = [jnp.zeros(ash, jnp.float32) for _ in range(dim)]
+        rda = jnp.zeros(ash, jnp.float32)
         for w in range(nw):
             xj = xj_ref[w]                 # (d+2, CAP, T)
             d = wrap([x_i[k] - xj[k][None] for k in range(dim)])
@@ -123,16 +129,20 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
             p_j = xj[dim][None]
             psum = (p_i + p_j) * dwv * inv_r
             for k in range(dim):
-                facc[k] = facc[k] - psum * d[k]
-            rda = rda + (p_i - p_j) * dwv
+                term = psum * d[k]
+                facc[k] = facc[k] - (term if wide else jnp.sum(term, axis=1))
+            term = (p_i - p_j) * dwv
+            rda = rda + (term if wide else jnp.sum(term, axis=1))
         for k in range(dim):
-            o_refs[k][...] = jnp.sum(facc[k], axis=1)
-        o_refs[dim][...] = jnp.sum(rda, axis=1) * inv_rho0c0
+            o_refs[k][...] = jnp.sum(facc[k], axis=1) if wide else facc[k]
+        o_refs[dim][...] = (jnp.sum(rda, axis=1) if wide else rda) * inv_rho0c0
+
+    if mode != "wall":
+        pl.when(wflag_ref[pl.program_id(0)] >= 0)(_inner)
 
     # wall windows (fluid_integration.hpp:89-113): p-in-wall hydrostatic
     # reconstruction from the prior acceleration; predicated per tile
-    @pl.when(wflag_ref[pl.program_id(0)] > 0)
-    def _():
+    def _wall():
         xi = xi_ref[...]
         x_i = [xi[k][:, None, :] for k in range(dim)]
         p_i = xi[dim][:, None, :]
@@ -159,10 +169,13 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
             o_refs[k][...] += fw[k]
         o_refs[dim][...] += rdw * inv_rho0c0
 
+    if mode != "inner":
+        pl.when(wflag_ref[pl.program_id(0)] > 0)(_wall)
+
 
 def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, *f_refs, dim,
                 inv_h, factor_w, rho0c0_geo, inv_c0, limiter_coeff, box,
-                wall_static):
+                wall_static, mode="both"):
     wrap = _make_wrap(box)
     nw = _nw(dim)
     t = xi_ref.shape[-1]
@@ -173,13 +186,14 @@ def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, *f_refs, dim,
     for r in f_refs:
         r[...] = jnp.zeros((cap, t), jnp.float32)
 
-    @pl.when(wflag_ref[pl.program_id(0)] >= 0)
-    def _():
+    def _inner():
         xi = xi_ref[...]                   # (2d, CAP, T)
         x_i = [xi[k][:, None, :] for k in range(dim)]
         v_i = [xi[dim + k][:, None, :] for k in range(dim)]
-        dcra = jnp.zeros((cap, capj, t), jnp.float32)
-        facc = [jnp.zeros((cap, capj, t), jnp.float32) for _ in range(dim)]
+        wide = dim == 2                    # see _ac1_kernel note
+        ash = (cap, capj, t) if wide else (cap, t)
+        dcra = jnp.zeros(ash, jnp.float32)
+        facc = [jnp.zeros(ash, jnp.float32) for _ in range(dim)]
         for w in range(nw):
             xj = xj_ref[w]                 # (2d+1, CAP, T)
             d = wrap([x_i[k] - xj[k][None] for k in range(dim)])
@@ -188,18 +202,22 @@ def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, *f_refs, dim,
             e = [c * inv_r for c in d]
             u_jump = sum((v_i[k] - xj[dim + k][None]) * e[k]
                          for k in range(dim))
-            dcra = dcra + u_jump * dwv
+            term = u_jump * dwv
+            dcra = dcra + (term if wide else jnp.sum(term, axis=1))
             lim = jnp.minimum(
                 limiter_coeff * inv_c0 * jnp.maximum(u_jump, 0.0), 1.0)
             pj = rho0c0_geo * u_jump * lim * dwv
             for k in range(dim):
-                facc[k] = facc[k] + pj * e[k]
-        dcr_ref[...] = jnp.sum(dcra, axis=1)
+                term = pj * e[k]
+                facc[k] = facc[k] + (term if wide else jnp.sum(term, axis=1))
+        dcr_ref[...] = jnp.sum(dcra, axis=1) if wide else dcra
         for k in range(dim):
-            f_refs[k][...] = jnp.sum(facc[k], axis=1)
+            f_refs[k][...] = jnp.sum(facc[k], axis=1) if wide else facc[k]
 
-    @pl.when(wflag_ref[pl.program_id(0)] > 0)
-    def _():
+    if mode != "wall":
+        pl.when(wflag_ref[pl.program_id(0)] >= 0)(_inner)
+
+    def _wall():
         xi = xi_ref[...]
         x_i = [xi[k][:, None, :] for k in range(dim)]
         v_i = [xi[dim + k][:, None, :] for k in range(dim)]
@@ -230,6 +248,26 @@ def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, *f_refs, dim,
         dcr_ref[...] += dcrw
         for k in range(dim):
             f_refs[k][...] += fw[k]
+
+    if mode != "inner":
+        pl.when(wflag_ref[pl.program_id(0)] > 0)(_wall)
+
+
+def _split_call(kern_of_mode, xi_t, xj_t, wj_t, wflag, n_out, tile_c,
+                interpret=False):
+    """Run the inner and wall window sweeps as SEPARATE pallas calls (each
+    with a 1-slot dummy for the other side's tensor) and sum the outputs.
+    Halves the peak scoped-VMEM residency: the fused kernel must hold both
+    double-buffered j-tensors at once, which overflows the ~16M budget for
+    3D (27-window) sweeps at production caps."""
+    nw, c = xj_t.shape[0], xi_t.shape[-1]
+    dummy_w = jnp.zeros((nw, wj_t.shape[1], 1, c), jnp.float32)
+    dummy_j = jnp.zeros((nw, xj_t.shape[1], 1, c), jnp.float32)
+    outs_i = _call(kern_of_mode("inner"), xi_t, xj_t, dummy_w, wflag, n_out,
+                   tile_c, interpret)
+    outs_w = _call(kern_of_mode("wall"), xi_t, dummy_j, wj_t, wflag, n_out,
+                   tile_c, interpret)
+    return tuple(a + b for a, b in zip(outs_i, outs_w))
 
 
 def _call(kern, xi_t, xj_t, wj_t, wflag, n_out, tile_c, interpret=False):
@@ -263,40 +301,51 @@ def _call(kern, xi_t, xj_t, wj_t, wflag, n_out, tile_c, interpret=False):
 @functools.partial(jax.jit, static_argnames=("inv_h", "factor_w",
                                              "inv_rho0c0", "tile_c",
                                              "interpret", "box_x", "box_y",
-                                             "box_z", "dim", "wall_static"))
+                                             "box_z", "dim", "wall_static",
+                                             "split_wall"))
 def ac1_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
                 inv_rho0c0: float, tile_c: int = 256, interpret: bool = False,
                 box_x: float = 0.0, box_y: float = 0.0, box_z: float = 0.0,
-                dim: int = 2, wall_static: bool = False):
+                dim: int = 2, wall_static: bool = False,
+                split_wall: bool = False):
     """Fused 1st-half inner+wall sweep.  Returns (f[0..dim), rd), (cap, C)."""
-    kern = functools.partial(_ac1_kernel, dim=dim, inv_h=inv_h,
-                             factor_w=factor_w, inv_rho0c0=inv_rho0c0,
-                             box=(box_x, box_y, box_z)[:dim],
-                             wall_static=wall_static)
-    return _call(kern, xi_t, xj_t, wj_t, wflag, dim + 1, tile_c, interpret)
+    kern = lambda mode: functools.partial(
+        _ac1_kernel, dim=dim, inv_h=inv_h, factor_w=factor_w,
+        inv_rho0c0=inv_rho0c0, box=(box_x, box_y, box_z)[:dim],
+        wall_static=wall_static, mode=mode)
+    if split_wall:
+        return _split_call(kern, xi_t, xj_t, wj_t, wflag, dim + 1, tile_c,
+                           interpret)
+    return _call(kern("both"), xi_t, xj_t, wj_t, wflag, dim + 1, tile_c,
+                 interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("inv_h", "factor_w", "rho0c0_geo",
                                              "inv_c0", "limiter_coeff",
                                              "tile_c", "interpret",
                                              "box_x", "box_y", "box_z",
-                                             "dim", "wall_static"))
+                                             "dim", "wall_static",
+                                             "split_wall"))
 def ac2_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
                 rho0c0_geo: float, inv_c0: float, limiter_coeff: float,
                 tile_c: int = 256, interpret: bool = False,
                 box_x: float = 0.0, box_y: float = 0.0, box_z: float = 0.0,
-                dim: int = 2, wall_static: bool = False):
+                dim: int = 2, wall_static: bool = False,
+                split_wall: bool = False):
     """Fused 2nd-half inner+wall sweep.  Returns (dcr, f[0..dim)), (CAP, C)."""
-    kern = functools.partial(_ac2_kernel, dim=dim, inv_h=inv_h,
-                             factor_w=factor_w, rho0c0_geo=rho0c0_geo,
-                             inv_c0=inv_c0, limiter_coeff=limiter_coeff,
-                             box=(box_x, box_y, box_z)[:dim],
-                             wall_static=wall_static)
-    return _call(kern, xi_t, xj_t, wj_t, wflag, dim + 1, tile_c, interpret)
+    kern = lambda mode: functools.partial(
+        _ac2_kernel, dim=dim, inv_h=inv_h, factor_w=factor_w,
+        rho0c0_geo=rho0c0_geo, inv_c0=inv_c0, limiter_coeff=limiter_coeff,
+        box=(box_x, box_y, box_z)[:dim], wall_static=wall_static, mode=mode)
+    if split_wall:
+        return _split_call(kern, xi_t, xj_t, wj_t, wflag, dim + 1, tile_c,
+                           interpret)
+    return _call(kern("both"), xi_t, xj_t, wj_t, wflag, dim + 1, tile_c,
+                 interpret)
 
 
 def _visctvc_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
-                    factor_w, eps_r, box, wall_static):
+                    factor_w, eps_r, box, wall_static, mode="both"):
     """Fused viscous-force + transport-velocity-correction sweep.
     o_refs = fv[0..dim) + I[0..dim).
 
@@ -316,13 +365,14 @@ def _visctvc_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
     for r in o_refs:
         r[...] = jnp.zeros((cap, t), jnp.float32)
 
-    @pl.when(wflag_ref[pl.program_id(0)] >= 0)
-    def _():
+    def _inner():
         xi = xi_ref[...]                   # (2d, CAP, T)
         x_i = [xi[k][:, None, :] for k in range(dim)]
         v_i = [xi[dim + k][:, None, :] for k in range(dim)]
-        fva = [jnp.zeros((cap, capj, t), jnp.float32) for _ in range(dim)]
-        ia = [jnp.zeros((cap, capj, t), jnp.float32) for _ in range(dim)]
+        wide = dim == 2                    # see _ac1_kernel note
+        ash = (cap, capj, t) if wide else (cap, t)
+        fva = [jnp.zeros(ash, jnp.float32) for _ in range(dim)]
+        ia = [jnp.zeros(ash, jnp.float32) for _ in range(dim)]
         for w in range(nw):
             xj = xj_ref[w]                 # (2d+1, CAP, T)
             d = wrap([x_i[k] - xj[k][None] for k in range(dim)])
@@ -330,14 +380,18 @@ def _visctvc_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
                                           factor_w)
             scale = dwv / (r + eps_r)
             for k in range(dim):
-                fva[k] = fva[k] + (v_i[k] - xj[dim + k][None]) * scale
-                ia[k] = ia[k] - (2.0 * dwv * inv_r) * d[k]
+                t1 = (v_i[k] - xj[dim + k][None]) * scale
+                t2 = (2.0 * dwv * inv_r) * d[k]
+                fva[k] = fva[k] + (t1 if wide else jnp.sum(t1, axis=1))
+                ia[k] = ia[k] - (t2 if wide else jnp.sum(t2, axis=1))
         for k in range(dim):
-            o_refs[k][...] = jnp.sum(fva[k], axis=1)
-            o_refs[dim + k][...] = jnp.sum(ia[k], axis=1)
+            o_refs[k][...] = jnp.sum(fva[k], axis=1) if wide else fva[k]
+            o_refs[dim + k][...] = jnp.sum(ia[k], axis=1) if wide else ia[k]
 
-    @pl.when(wflag_ref[pl.program_id(0)] > 0)
-    def _():
+    if mode != "wall":
+        pl.when(wflag_ref[pl.program_id(0)] >= 0)(_inner)
+
+    def _wall():
         xi = xi_ref[...]
         x_i = [xi[k][:, None, :] for k in range(dim)]
         v_i = [xi[dim + k][:, None, :] for k in range(dim)]
@@ -356,23 +410,30 @@ def _visctvc_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
             o_refs[k][...] += fvw[k]
             o_refs[dim + k][...] += iw[k]
 
+    if mode != "inner":
+        pl.when(wflag_ref[pl.program_id(0)] > 0)(_wall)
+
 
 @functools.partial(jax.jit, static_argnames=("inv_h", "factor_w", "eps_r",
                                              "tile_c", "interpret",
                                              "box_x", "box_y", "box_z",
-                                             "dim", "wall_static"))
+                                             "dim", "wall_static",
+                                             "split_wall"))
 def visc_tvc_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
                      eps_r: float, tile_c: int = 256, interpret: bool = False,
                      box_x: float = 0.0, box_y: float = 0.0,
                      box_z: float = 0.0, dim: int = 2,
-                     wall_static: bool = False):
+                     wall_static: bool = False, split_wall: bool = False):
     """Fused viscous + TVC inner+wall sweep.  xi_t: (2d, CAP, C) [pos, vel];
     xj_t: (NW, 2d+1, CAP, C) [pos, vel, vol].  Returns (fv[0..d), I[0..d))."""
-    kern = functools.partial(_visctvc_kernel, dim=dim, inv_h=inv_h,
-                             factor_w=factor_w, eps_r=eps_r,
-                             box=(box_x, box_y, box_z)[:dim],
-                             wall_static=wall_static)
-    return _call(kern, xi_t, xj_t, wj_t, wflag, 2 * dim, tile_c, interpret)
+    kern = lambda mode: functools.partial(
+        _visctvc_kernel, dim=dim, inv_h=inv_h, factor_w=factor_w, eps_r=eps_r,
+        box=(box_x, box_y, box_z)[:dim], wall_static=wall_static, mode=mode)
+    if split_wall:
+        return _split_call(kern, xi_t, xj_t, wj_t, wflag, 2 * dim, tile_c,
+                           interpret)
+    return _call(kern("both"), xi_t, xj_t, wj_t, wflag, 2 * dim, tile_c,
+                 interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -399,7 +460,7 @@ def wall_flags(nbr_wall, c_max_wall: int, tile_c: int = 256, n_occ=None):
 
 
 def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
-                 dim, inv_h, factor_w, box, wall_static):
+                 dim, inv_h, factor_w, box, wall_static, mode="both"):
     """Density-summation sweep.  Two outputs:
       sig  = sum_w sum_j W_ij m_j over fluid windows, with m the 0/1 slot
              mask channel (the self pair contributes exactly W(0) = w0,
@@ -423,15 +484,15 @@ def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
         # WendlandC2 W = factor * (1 - q/2)^4 (2q + 1), 0 beyond q=2
         return factor_w * (1.0 - 0.5 * qc) ** 4 * (2.0 * qc + 1.0)
 
-    for w in range(nw):
-        xj = xj_ref[w]                     # (d+1, CAP, T) [pos, mask]
-        d = wrap([x_i[k] - xj[k][None] for k in range(dim)])
-        sig = sig + jnp.sum(w_of(d) * xj[dim][None], axis=1)
+    if mode != "wall":
+        for w in range(nw):
+            xj = xj_ref[w]                 # (d+1, CAP, T) [pos, mask]
+            d = wrap([x_i[k] - xj[k][None] for k in range(dim)])
+            sig = sig + jnp.sum(w_of(d) * xj[dim][None], axis=1)
     sig_ref[...] = sig
     sigw_ref[...] = jnp.zeros((cap, t), jnp.float32)
 
-    @pl.when(wflag_ref[pl.program_id(0)] > 0)
-    def _():
+    def _wall():
         sigw = jnp.zeros((cap, t), jnp.float32)
         for w in range(nw):
             wj = wj_ref[w]
@@ -439,21 +500,27 @@ def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
             sigw = sigw + jnp.sum(w_of(d) * wj[WVOL][None], axis=1)
         sigw_ref[...] = sigw
 
+    if mode != "inner":
+        pl.when(wflag_ref[pl.program_id(0)] > 0)(_wall)
+
 
 @functools.partial(jax.jit, static_argnames=("inv_h", "factor_w", "tile_c",
                                              "interpret", "box_x", "box_y",
-                                             "box_z", "dim", "wall_static"))
+                                             "box_z", "dim", "wall_static",
+                                             "split_wall"))
 def density_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
                     tile_c: int = 256, interpret: bool = False,
                     box_x: float = 0.0, box_y: float = 0.0,
                     box_z: float = 0.0, dim: int = 2,
-                    wall_static: bool = False):
+                    wall_static: bool = False, split_wall: bool = False):
     """Fused density-summation sweep.  xi_t: (d, CAP, C) positions;
     xj_t: (NW, d+1, CAP, C) [pos, slot-mask]; wj_t: the shared wall tensor.
     Returns (sig (CAP, C), sigw (CAP, C)): the fluid W*mask-sum (self pair
     included = the w0 seed) and the wall W*V-sum."""
-    kern = functools.partial(_dens_kernel, dim=dim, inv_h=inv_h,
-                             factor_w=factor_w,
-                             box=(box_x, box_y, box_z)[:dim],
-                             wall_static=wall_static)
-    return _call(kern, xi_t, xj_t, wj_t, wflag, 2, tile_c, interpret)
+    kern = lambda mode: functools.partial(
+        _dens_kernel, dim=dim, inv_h=inv_h, factor_w=factor_w,
+        box=(box_x, box_y, box_z)[:dim], wall_static=wall_static, mode=mode)
+    if split_wall:
+        return _split_call(kern, xi_t, xj_t, wj_t, wflag, 2, tile_c,
+                           interpret)
+    return _call(kern("both"), xi_t, xj_t, wj_t, wflag, 2, tile_c, interpret)

@@ -76,3 +76,43 @@ def damping_pairwise(state: State, field: str, nl_inner: NeighborList, kernel,
         phi = sweep(phi)
     out[field] = phi
     return out
+
+
+def damping_pairwise_wall(state: State, field: str, wall: State,
+                          nl_wall: NeighborList, kernel, dim: int, eta: float,
+                          dt, capacity_key: str = "Mass",
+                          wall_field: str | None = None, box=None) -> State:
+    """DampingPairwiseFromWall (particle_dynamics_dissipation.hpp): implicit
+    damping of `field` toward the wall's value (zero for static walls).
+    The wall side never updates, so the per-pair implicit increment is
+
+        b      = rate dW_ij V_i V_j dt / r_ij   (b <= 0)
+        phi_i += b (phi_i - phi_w) / (C_i - b)
+
+    applied simultaneously over wall neighbors with the same overshoot
+    limiter as damping_pairwise."""
+    out = dict(state)
+    phi = state[field]
+    cap = state[capacity_key]
+    vol = state["VolumetricMeasure"]
+
+    pg = pair_geometry(state["Position"], wall["Position"], nl_wall, kernel,
+                       dim, need_W=False, box=box)
+    wvol_j, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
+    b = eta * pg.dW * vol[:, None] * wvol_j * dt / (pg.r + TINY)
+    coef = -b / (cap[:, None] - b)                    # >= 0
+    a = jnp.sum(coef, axis=1)
+    coef = coef * jnp.minimum(1.0, 1.0 / jnp.maximum(a[:, None], TINY))
+
+    if wall_field is not None:
+        phi_w, _ = gather(wall[wall_field], nl_wall.idx)
+    else:
+        phi_w = 0.0
+    if phi.ndim == 2:
+        diff = phi[:, None, :] - (phi_w if wall_field else jnp.zeros_like(pg.e))
+        phi = phi - jnp.sum(coef[..., None] * diff, axis=1)
+    else:
+        diff = phi[:, None] - (phi_w if wall_field else 0.0)
+        phi = phi - jnp.sum(coef * diff, axis=1)
+    out[field] = phi
+    return out

@@ -47,7 +47,8 @@ TINY = 1.0e-15
 def density_summation(fluid: State, nl_inner: NeighborList, kernel, dim: int,
                       rho0: float, sigma0: float,
                       contacts: Sequence[tuple] = (),
-                      free_surface: bool = True, box=None) -> State:
+                      free_surface: bool = True, box=None,
+                      shell_contacts: Sequence[tuple] = ()) -> State:
     """DensitySummationComplex(FreeSurface): inner + contact summation, then
     rho update.  `contacts` is a sequence of (contact_state, nl_contact,
     contact_rho0) for wall/solid bodies seen as contact.
@@ -69,6 +70,14 @@ def density_summation(fluid: State, nl_inner: NeighborList, kernel, dim: int,
         mass_k, _ = gather(c_state["Mass"], nl_c.idx)
         sigma_c = jnp.sum(pgc.W * mass_k / c_rho0, axis=1)
         rho_sum = rho_sum + sigma_c * rho0 * rho0 / sigma0 / fluid["Mass"]
+
+    # shell contacts: frozen curvature-corrected pair kernels
+    # (physics/shell_fluid.py; neighborhood.cpp FromShellToFluid)
+    for s_state, nl_s, s_pairs, s_rho0 in shell_contacts:
+        from sphinxsys_tpu.physics.shell_fluid import density_summation_shell_term
+
+        rho_sum = rho_sum + density_summation_shell_term(
+            fluid, s_state, s_pairs, nl_s, rho0, sigma0, s_rho0)
 
     out = dict(fluid)
     out["DensitySummation"] = rho_sum
@@ -126,8 +135,13 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
                            wall_riemann=None, box=None,
                            walls: Sequence[tuple] = (),
                            contacts: Sequence[tuple] = (),
-                           correction: bool = False) -> State:
-    """`walls`: additional wall-type contacts as (state, neighbor_list)
+                           correction: bool = False,
+                           shell_walls: Sequence[tuple] = ()) -> State:
+    """`shell_walls`: shell bodies seen as wall contacts, as (shell_state,
+    neighbor_list, ShellContactPairs) triples — the corrected pair kernels
+    are FROZEN per advection step (physics/shell_fluid.py).
+
+    `walls`: additional wall-type contacts as (state, neighbor_list)
     pairs (e.g. rigid wall + elastic insert in fsi2.cpp:135-137); the
     single wall/nl_wall pair is kept for convenience.
 
@@ -192,6 +206,14 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
         force_total = force_total + force_w * vol[:, None]
         drho_dt = drho_dt + rho_diss_w * rho
 
+    for sstate, snl, spairs in shell_walls:
+        from sphinxsys_tpu.physics.shell_fluid import acoustic_1st_half_shell_term
+
+        force_s, rho_diss_s = acoustic_1st_half_shell_term(
+            p, rho, fluid, sstate, spairs, snl, wr)
+        force_total = force_total + force_s * vol[:, None]
+        drho_dt = drho_dt + rho_diss_s * rho
+
     # --- interaction: fluid-fluid contacts (hpp:132-157) -------------------
     for cstate, cnl, crs in contacts:
         pgc = pair_geometry(pos, cstate["Position"], cnl, kernel, dim,
@@ -226,7 +248,8 @@ def acoustic_step_2nd_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
                            nl_wall: NeighborList | None = None,
                            wall_riemann=None, box=None,
                            walls: Sequence[tuple] = (),
-                           contacts: Sequence[tuple] = ()) -> State:
+                           contacts: Sequence[tuple] = (),
+                           shell_walls: Sequence[tuple] = ()) -> State:
     out = dict(fluid)
     # --- initialization ---------------------------------------------------
     pos = fluid["Position"] + fluid["Velocity"] * (0.5 * dt)
@@ -266,6 +289,14 @@ def acoustic_step_2nd_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
         p_diss_w = jnp.sum((wr.dissipative_p_jump(u_jump_w) * dWV_w)[..., None] * face_to_fluid_n, axis=1)
         drho_dt = drho_dt + dcr_w * rho
         force = force + p_diss_w * vol[:, None]
+
+    for sstate, snl, spairs in shell_walls:
+        from sphinxsys_tpu.physics.shell_fluid import acoustic_2nd_half_shell_term
+
+        p_diss_s, dcr_s = acoustic_2nd_half_shell_term(
+            vel, fluid, sstate, spairs, snl, wr)
+        drho_dt = drho_dt + dcr_s * rho
+        force = force + p_diss_s * vol[:, None]
 
     # --- interaction: fluid-fluid contacts (hpp:248-272) ---------------------
     for cstate, cnl, crs in contacts:

@@ -553,7 +553,7 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
         xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
         factor_w=kernel._factor_w(dim), inv_rho0c0=riemann.inv_rho0c0_ave,
         tile_c=tile_c, interpret=interpret, box_x=bx, box_y=by, box_z=bz,
-        dim=dim, wall_static=wall_static)
+        dim=dim, wall_static=wall_static, split_wall=dim == 3)
     force = jnp.stack([f.T for f in fs], axis=-1)  # (C, CAP, dim)
     pad_v = fb["Force"][c:]
     force_total = fb["Force"] + jnp.concatenate(
@@ -604,7 +604,7 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
         factor_w=kernel._factor_w(dim), rho0c0_geo=geo,
         inv_c0=riemann.inv_c0_ave, limiter_coeff=limiter, tile_c=tile_c,
         interpret=interpret, box_x=bx, box_y=by, box_z=bz, dim=dim,
-        wall_static=wall_static)
+        wall_static=wall_static, split_wall=dim == 3)
 
     force = jnp.stack([f.T for f in fs], axis=-1) * vol[:c][..., None]
     drho_dt = fb["DensityChangeRate"] + jnp.concatenate(
@@ -643,7 +643,8 @@ def density_summation_p2(fb, nbr_inner, wall_jt, wflags, kernel, rho0: float,
                                     factor_w=kernel._factor_w(dim),
                                     tile_c=tile_c, interpret=interpret,
                                     box_x=bx, box_y=by, box_z=bz, dim=dim,
-                                    wall_static=wall_static)
+                                    wall_static=wall_static,
+                                    split_wall=dim == 3)
     # density_summation_b: rho_sum = (w0 + sum W) rho0/sigma0
     #                      + [sum_k W m_k/rho0_k] rho0^2/(sigma0 m_i)
     # the kernel's fluid sum counts the self pair as exactly W(0) = w0, and
@@ -793,7 +794,7 @@ def visc_tvc_p2(fb, nbr_inner, wall_jt, wflags, kernel, dim: int, mu: float,
         xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
         factor_w=kernel._factor_w(dim), eps_r=0.01 * smoothing_length,
         tile_c=tile_c, interpret=interpret, box_x=bx, box_y=by, box_z=bz,
-        dim=dim, wall_static=wall_static)
+        dim=dim, wall_static=wall_static, split_wall=dim == 3)
     fvs, ivs = outs[:dim], outs[dim:]
 
     out = dict(fb)

@@ -98,6 +98,16 @@ CASES = {
     "ball_shell_collision_3d": _run_single_fluid(
         "ball_shell_collision_3d",
         lambda c, s: {"BallBody": s.ball, "Shell": c.shell}, t_end=4.0),
+    "hydrostatic_fsi_2d": _run_single_fluid(
+        "hydrostatic_fsi_2d",
+        lambda c, s: {"WaterBody": s.fluid, "Gate": s.gate, "Wall": c.wall},
+        t_end=0.2),
+    "dambreak_3d_block": _run_single_fluid(
+        "dambreak_3d_block",
+        lambda c, s: {"WaterBody": __import__(
+            "sphinxsys_tpu.cases.dambreak_3d_block",
+            fromlist=["blocks_to_particles"]).blocks_to_particles(
+                c, s, c.base.n_fluid)}, t_end=6.0),
     "fsi2": _run_single_fluid(
         "fsi2",
         lambda c, s: {"WaterBody": s.fluid, "InsertedBody": s.solid,

@@ -259,3 +259,51 @@ def test_double_mach_reflection_pattern():
     quiet = (c[:, 0] > x_s_top + 0.3)
     if quiet.any():
         assert np.abs(rho[quiet] - dmr.RHO_PRE).max() < 0.05
+
+
+def test_fvm_3d_mesh_compiles_reference_icem():
+    """3D face compilation on the reference's shipped ICEM tet mesh:
+    positive volumes, closed cells (face-area vectors sum to ~0), domain
+    volume below the bounding box (the channel has a bump)."""
+    import numpy as np
+    from sphinxsys_tpu.fvm.mesh import compile_mesh, read_fluent_msh
+
+    raw = read_fluent_msh(
+        "/root/reference/tests/3d_examples/"
+        "test_3d_FVM_incompressible_channel_flow/data/Channel_ICEM.msh")
+    assert raw.dim == 3
+    m = compile_mesh(raw)
+    assert m.n_cells == 5143
+    assert (m.volumes > 0).all()
+    box = (0.469846 + 0.3) * 0.5 * 0.03
+    assert 0.8 * box < m.volumes.sum() < box
+    # closedness: per-cell sum of signed area vectors ~ 0
+    av = m.normal * m.area[:, None]
+    acc = np.zeros((m.n_cells, 3))
+    for side, sgn in ((m.owner, 1.0), (m.neigh, -1.0)):
+        sel = side >= 0
+        np.add.at(acc, side[sel], sgn * av[sel])
+    rel = np.abs(acc).max() / m.area.mean()
+    assert rel < 1e-9, rel
+
+
+def test_fvm_3d_channel_conserves_mass_and_speeds_up():
+    """3D inviscid channel flow (velocity inlet vs pressure outlet, slip
+    walls): inlet mass flux equals U A_in; the outlet flux balances it to
+    a few % once the transient passes; the bump accelerates the flow."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sphinxsys_tpu.cases import fvm_channel_3d as ch
+
+    case, state = ch.build_case()
+    s = ch.init_sim(case, state)
+    run = ch.make_run_chunk(case)
+    s = run(s, jnp.asarray(1.0, s.time.dtype))
+    f_in = ch.boundary_flux(case, s, 10)
+    f_out = ch.boundary_flux(case, s, 5)
+    assert abs(-f_in - 0.015) < 0.001          # U * A_in = 1 * 0.5 * 0.03
+    assert abs(f_out + f_in) < 0.15 * abs(f_in)
+    v = ch.max_speed(s)
+    assert 1.2 < v < 3.0                       # bump speedup, subsonic
+    assert not np.isnan(np.asarray(s.state["Velocity"])).any()

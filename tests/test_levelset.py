@@ -112,3 +112,85 @@ def test_levelset_shape_drives_relaxation():
     sd_r = np.asarray(shape.signed_distance(relaxed))
     assert sd_r.max() < 0.5 * 0.1      # bounded by the (probed) surface
     assert np.isfinite(np.asarray(relaxed)).all()
+
+
+def test_levelset_3d_sphere_probes():
+    """3D packaged level set of a sphere: signed-distance and normal
+    probes match the analytic SDF; reinitialization keeps them."""
+    from sphinxsys_tpu.core import geometry as G
+
+    R = 1.0
+    sphere = G.Ball(center=(0.0, 0.0, 0.0), radius=R)
+    ls = build_levelset(sphere, (-1.6, -1.6, -1.6), (1.6, 1.6, 1.6),
+                        spacing=0.08)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-1.3, 1.3, (64, 3)), jnp.float32)
+    want = np.linalg.norm(np.asarray(pts), axis=1) - R
+    sd = np.asarray(ls.probe_signed_distance(pts))
+    sel = np.abs(want) < 0.4           # inside the narrow band
+    assert np.abs(sd[sel] - want[sel]).max() < 0.02
+    n = np.asarray(ls.probe_normal_direction(pts))
+    e = np.asarray(pts) / np.linalg.norm(np.asarray(pts), axis=1,
+                                         keepdims=True)
+    assert np.abs((n - e)[sel]).max() < 0.1
+
+    fixed = ls.reinitialize(iterations=20)
+    sd2 = np.asarray(fixed.probe_signed_distance(pts))
+    assert np.abs(sd2[sel] - want[sel]).max() < 0.03
+
+
+def test_levelset_3d_kernel_integral_half_space():
+    """3D cut-cell kernel integrals against the half-space analytic limit:
+    deep inside the positive region the W-integral is 1, at the flat
+    interface it is 1/2, deep negative it is 0."""
+    from sphinxsys_tpu.core import geometry as G
+    from sphinxsys_tpu.core.kernels import WendlandC2
+
+    DX = 0.1
+    # half-space x > 0 via a large box: phi = -x
+    half = G.Box(G.Transform(translation=(-2.0, 0.0, 0.0)),
+                 halfsize=(2.0, 4.0, 4.0))
+    ls = build_levelset(half, (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0),
+                        spacing=DX)
+    ls = ls.update_kernel_integrals(WendlandC2(h=DX), dim=3)
+    pts = jnp.asarray([[-0.5, 0.0, 0.0], [0.0, 0.0, 0.0],
+                       [0.5, 0.0, 0.0]], jnp.float32)
+    kw = np.asarray(ls.probe_kernel_integral(pts))
+    assert abs(kw[2] - 1.0) < 0.05     # deep positive (outside the box)
+    assert abs(kw[1] - 0.5) < 0.06     # on the interface
+    assert abs(kw[0]) < 0.05           # deep negative (inside)
+    kg = np.asarray(ls.probe_kernel_gradient_integral(pts))
+    assert kg[1, 0] > 0.1              # gradient points out of the body
+    assert abs(kg[1, 1]) < 1e-2 and abs(kg[1, 2]) < 1e-2
+
+
+def test_levelset_3d_body_fitted_relaxation():
+    """test_3d_particle_relaxation analog: relax a lattice inside a
+    3D level-set sphere — particles stay inside the probed surface and
+    the configuration stays finite (reload-ready)."""
+    from sphinxsys_tpu.core import geometry as G
+    from sphinxsys_tpu.core.generators import generate_lattice
+    from sphinxsys_tpu.core.adaptation import SPHAdaptation
+    from sphinxsys_tpu.neighbors import grid_from_bounds
+    from sphinxsys_tpu.physics.relax import relax_shape
+
+    R = 1.0
+    dx = 0.125
+    sphere = G.Ball(center=(0.0, 0.0, 0.0), radius=R)
+    ls = build_levelset(sphere, (-1.6, -1.6, -1.6), (1.6, 1.6, 1.6),
+                        spacing=dx)
+    shape = LevelSetShape(ls)
+    pos, vol = generate_lattice(shape, (-1.2, -1.2, -1.2), (1.2, 1.2, 1.2),
+                                dx)
+    volume = 4.0 / 3.0 * np.pi * R ** 3
+    assert abs(len(pos) * vol - volume) < 0.05 * volume
+
+    adaptation = SPHAdaptation(spacing=dx, dim=3)
+    grid = grid_from_bounds((-1.4, -1.4, -1.4), (1.4, 1.4, 1.4),
+                            adaptation.cutoff)
+    relaxed = relax_shape(shape, jnp.asarray(pos, jnp.float32), float(vol),
+                          adaptation, grid, n_iterations=15,
+                          surface_correction=False)
+    sd_r = np.asarray(shape.signed_distance(relaxed))
+    assert sd_r.max() < 0.5 * dx
+    assert np.isfinite(np.asarray(relaxed)).all()
