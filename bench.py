@@ -117,7 +117,9 @@ def main() -> None:
                                       include_self=True)
             return jnp.sum(nli.count) + jnp.sum(nlw.count)
 
-        chunk = 32768
+        # 3D: the candidate gather is (chunk, 27*cell_cap, 3) and XLA pads
+        # the 3-wide minor dim to the 128-lane tile — keep chunks small
+        chunk = 32768 if pos.shape[1] == 2 else 2048
         n_pad = ((n_fluid + chunk - 1) // chunk) * chunk
         pos_padded = jnp.concatenate(
             [pos[:n_fluid], jnp.full((n_pad - n_fluid, pos.shape[1]), 1.0e9,
