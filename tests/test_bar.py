@@ -127,7 +127,11 @@ def test_bar_cantilever_first_frequency():
     i_min = int(np.argmin(tips[i_max:])) + i_max
     half_period = times[i_min] - times[i_max]
     f_measured = 1.0 / (2.0 * half_period)
-    assert abs(f_measured - f1) / f1 < 0.25, \
+    # convergence study (n = 21/41: -3.1% / -3.3%): the two-director bar
+    # converges ~3% BELOW Euler-Bernoulli — the model is shear-deformable
+    # (Timoshenko-like), which softens f1; 8% would catch any factor-level
+    # stiffness error (a sqrt(2) error shifts f1 by 41%)
+    assert abs(f_measured - f1) / f1 < 0.08, \
         f"f_measured={f_measured:.3f} vs beam theory {f1:.3f}"
     # amplitude bounded (restoring, not exploding)
     assert np.abs(tips).max() < 0.05 * L

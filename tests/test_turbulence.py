@@ -106,6 +106,20 @@ def test_channel_develops_turbulent_profile():
     # balance u_tau = sqrt(G_X * DH/2) (within 50% during development)
     utau_target = (tc.G_X * tc.DH / 2.0) ** 0.5
     assert abs(fric.mean() - utau_target) < 0.5 * utau_target
+    # log-law PROFILE check (not just the force balance): in wall units
+    # the mean profile follows u+ = ln(E y+)/kappa in the log region
+    # (measured 14% max deviation at t=6 with 20 cells across; a
+    # consistent-momentum-budget-but-wrong-wall-function run fails this)
+    utau = fric.mean()
+    nu = tc.MU_F / tc.RHO0_F
+    half = y <= tc.DH / 2
+    yplus = y[half] * utau / nu
+    uplus = prof[half] / utau
+    loglaw = np.log(9.8 * np.maximum(yplus, 1e-9)) / 0.41
+    sel = (yplus > 30.0) & (y[half] < 0.3 * tc.DH)
+    assert sel.sum() >= 3
+    rel = np.abs(uplus[sel] - loglaw[sel]) / np.abs(loglaw[sel])
+    assert rel.max() < 0.2, f"log-law deviation {rel.max():.3f}"
 
 
 def test_k_epsilon_homogeneous_decay():
