@@ -82,11 +82,9 @@ def build_case(dx: float = 0.05, dtype=jnp.float32, cap: int = 40,
                      wall_dense_map=dm_w), fluid
 
 
-def _slot(case: BlockCase, flat: dict, valid):
-    fb, bm = eng_mod.slot_fluid(case.eng, flat, valid,
-                                n_max=case.base.n_fluid)
-    nbr_wall = eng_mod.wall_windows(case.eng, bm, case.bm_wall,
-                                    case.wall_dense_map)
+def _slot(eng, n_fluid: int, bm_wall, wall_dense_map, flat: dict, valid):
+    fb, bm = eng_mod.slot_fluid(eng, flat, valid, n_max=n_fluid)
+    nbr_wall = eng_mod.wall_windows(eng, bm, bm_wall, wall_dense_map)
     return fb, bm.nbr_block, nbr_wall, bm.overflow, bm.n_occ
 
 
@@ -96,8 +94,13 @@ def init_sim(case: BlockCase, fluid: dict) -> BlockSim:
     flat["OriginalID"] = jnp.arange(n, dtype=jnp.int32)
     valid = jnp.arange(n) < fluid["NReal"]
 
+    # large device arrays are jit ARGUMENTS, not closure constants (at 1M+
+    # particles closure constants are serialized into the HLO and overflow
+    # the remote-compile transport)
+    eng, n_fluid = case.eng, case.base.n_fluid
     fb, nbr_inner, nbr_wall, ovf, _ = jax.jit(
-        lambda: _slot(case, flat, valid))()
+        lambda bw, dm, fl, va: _slot(eng, n_fluid, bw, dm, fl, va))(
+            case.bm_wall, case.wall_dense_map, flat, valid)
     dtype = fluid["Position"].dtype
     return BlockSim(fluid_b=fb, nbr_inner=nbr_inner, nbr_wall=nbr_wall,
                     time=jnp.zeros((), dtype), n_adv=jnp.zeros((), jnp.int32),
@@ -105,11 +108,11 @@ def init_sim(case: BlockCase, fluid: dict) -> BlockSim:
                     overflow=ovf | case.bm_wall.overflow)
 
 
-def _advection_step(case: BlockCase, s: BlockSim) -> BlockSim:
-    eng = case.eng
+def _advection_step(eng, n_fluid: int, pack, s: BlockSim) -> BlockSim:
+    wall_b, bm_wall, wall_dense_map = pack
     fb = s.fluid_b
     n_occ = jnp.sum(jnp.any(fb["SlotMask"][:-1], axis=1).astype(jnp.int32))
-    wc = eng_mod.make_wall_ctx(eng, case.wall_b, s.nbr_wall, case.bm_wall,
+    wc = eng_mod.make_wall_ctx(eng, wall_b, s.nbr_wall, bm_wall,
                                n_occ=n_occ)
 
     dt_adv = eng_mod.advection_dt(eng, fb)
@@ -132,7 +135,8 @@ def _advection_step(case: BlockCase, s: BlockSim) -> BlockSim:
     flat = {k: fb[k].reshape((-1,) + fb[k].shape[2:])
             for k in eng.fluid_fields + ("OriginalID",)}
     valid = fb["SlotMask"].reshape(-1)
-    fb2, nbr_inner, nbr_wall, ovf, _ = _slot(case, flat, valid)
+    fb2, nbr_inner, nbr_wall, ovf, _ = _slot(eng, n_fluid, bm_wall,
+                                             wall_dense_map, flat, valid)
 
     return BlockSim(fluid_b=fb2, nbr_inner=nbr_inner, nbr_wall=nbr_wall,
                     time=s.time + relax_t, n_adv=s.n_adv + 1,
@@ -140,20 +144,27 @@ def _advection_step(case: BlockCase, s: BlockSim) -> BlockSim:
 
 
 def make_run_chunk(case: BlockCase):
-    @jax.jit
-    def run_chunk(s: BlockSim, t_target) -> BlockSim:
-        return jax.lax.while_loop(lambda st: st.time < t_target,
-                                  lambda st: _advection_step(case, st), s)
+    eng, n_fluid = case.eng, case.base.n_fluid
 
-    return run_chunk
+    @jax.jit
+    def run_chunk(s: BlockSim, t_target, pack) -> BlockSim:
+        return jax.lax.while_loop(
+            lambda st: st.time < t_target,
+            lambda st: _advection_step(eng, n_fluid, pack, st), s)
+
+    pack = (case.wall_b, case.bm_wall, case.wall_dense_map)
+    return lambda s, t_target: run_chunk(s, t_target, pack)
 
 
 def make_advection_step(case: BlockCase):
-    @jax.jit
-    def step(s: BlockSim) -> BlockSim:
-        return _advection_step(case, s)
+    eng, n_fluid = case.eng, case.base.n_fluid
 
-    return step
+    @jax.jit
+    def step(s: BlockSim, pack) -> BlockSim:
+        return _advection_step(eng, n_fluid, pack, s)
+
+    pack = (case.wall_b, case.bm_wall, case.wall_dense_map)
+    return lambda s: step(s, pack)
 
 
 def blocks_to_particles(case: BlockCase, s: BlockSim, n: int) -> dict:

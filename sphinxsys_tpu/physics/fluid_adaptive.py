@@ -171,18 +171,93 @@ def transport_velocity_correction_adaptive(fluid: State, nl: NeighborList,
                                            kernel, dim: int, h_ref: float,
                                            coefficient: float = 0.2,
                                            limiter_slope: float = 100.0,
-                                           box=None) -> State:
+                                           box=None, walls=(),
+                                           scope_mask=None) -> State:
     """Shift with the particle's OWN h^2 scale (the adaptive TVC uses the
-    local resolution)."""
+    local resolution).  `walls`: (state, nl) wall-type contacts
+    (TransportVelocityCorrectionComplexAdaptive); `scope_mask` restricts
+    the shift (BulkParticles scope: only Indicator == 0)."""
     r, e, dW, _, vol_j, mask = adaptive_pair(fluid, nl, kernel, dim, box)
     inconsistency = -jnp.sum((2.0 * dW * vol_j)[..., None] * e, axis=1)
+    pos = fluid["Position"]
+    hr = fluid["SmoothingLengthRatio"]
+    for wstate, nl_w in walls:
+        rw, ew, dWw, _, volw, mw = _wall_pair(pos, hr, wstate, nl_w, kernel,
+                                              dim, box)
+        inconsistency = inconsistency - jnp.sum(
+            (2.0 * dWw * volw)[..., None] * ew, axis=1)
     h_own = h_ref / jnp.maximum(fluid["SmoothingLengthRatio"], TINY)
     h2 = h_own * h_own
     sq = jnp.sum(inconsistency ** 2, axis=-1)
     lim = jnp.minimum(limiter_slope * h2 * sq, 1.0)
+    shift = (coefficient * h2 * lim)[:, None] * inconsistency
+    if scope_mask is not None:
+        shift = jnp.where(scope_mask[:, None], shift, 0.0)
     out = dict(fluid)
-    out["Position"] = fluid["Position"] \
-        + (coefficient * h2 * lim)[:, None] * inconsistency
+    out["Position"] = fluid["Position"] + shift
+    return out
+
+
+def free_surface_indication_adaptive(fluid: State, nl: NeighborList, kernel,
+                                     dim: int, walls=(),
+                                     spatial_temporal: bool = False,
+                                     box=None) -> State:
+    """Adaptive-h variant of fluid.free_surface_indication
+    (SpatialTemporalFreeSurfaceIndicationComplex over an
+    AdaptiveInnerRelation): position divergence with pair-h kernels, the
+    one-layer smear at the particle's OWN h."""
+    pos = fluid["Position"]
+    hr = fluid["SmoothingLengthRatio"]
+    threshold = 0.75 * dim
+    r, e, dW, _, vol_j, mask = adaptive_pair(fluid, nl, kernel, dim, box)
+    pos_div = -jnp.sum(dW * vol_j * r, axis=1)
+    for wstate, nl_w in walls:
+        rw, ew, dWw, _, volw, mw = _wall_pair(pos, hr, wstate, nl_w, kernel,
+                                              dim, box)
+        pos_div = pos_div - jnp.sum(dWw * volw * rw, axis=1)
+
+    out = dict(fluid)
+    if spatial_temporal and "PreviousSurfaceIndicator" in fluid:
+        prev = fluid["PreviousSurfaceIndicator"]
+        prev_j, mj = gather(prev, nl.idx)
+        near_prev = jnp.any((prev_j == 1) & mj, axis=1)
+        suppress = (pos_div < threshold) & (prev != 1) & ~near_prev
+        pos_div = jnp.where(suppress, 2.0 * threshold, pos_div)
+
+    is_surface = pos_div < threshold
+    surf_j, mj = gather(is_surface, nl.idx)
+    h_own = (kernel.h / jnp.maximum(hr, TINY))[:, None]
+    near_surface = jnp.any(surf_j & mj & (r < h_own), axis=1)
+    indicator = jnp.where(is_surface | near_surface, 1, 0).astype(jnp.int32)
+    out["Indicator"] = indicator
+    out["PositionDivergence"] = pos_div
+    out["PreviousSurfaceIndicator"] = indicator
+    return out
+
+
+def density_summation_freestream_adaptive(fluid: State, nl: NeighborList,
+                                          kernel, dim: int, rho0: float,
+                                          box=None, wall: State = None,
+                                          nl_wall: NeighborList = None
+                                          ) -> State:
+    """DensitySummationFreeStreamComplexAdaptive: adaptive summation, then
+    the NearFreeStream blend rho_sum + (rho - rho_sum) rho0 / rho for
+    particles with a surface-indicated neighbor (density_summation.h:
+    141-147)."""
+    rho_old = fluid["Density"]
+    out = density_summation_adaptive(fluid, nl, kernel, dim, rho0, box=box,
+                                     wall=wall, nl_wall=nl_wall,
+                                     free_surface=False)
+    rho_sum = out["Density"]
+    ind_j, mj = gather(fluid["Indicator"], nl.idx)
+    near_surface = jnp.any((ind_j == 1) & mj, axis=1)
+    blended = jnp.where(rho_sum < rho_old,
+                        rho_sum + (rho_old - rho_sum) * rho0 / rho_old,
+                        rho_sum)
+    rho = jnp.where(near_surface, blended, rho_sum)
+    out["Density"] = rho
+    out["DensitySummation"] = rho_sum   # free-stream correction weight
+    out["VolumetricMeasure"] = fluid["Mass"] / jnp.maximum(rho, TINY)
     return out
 
 

@@ -98,6 +98,10 @@ CASES = {
     "ball_shell_collision_3d": _run_single_fluid(
         "ball_shell_collision_3d",
         lambda c, s: {"BallBody": s.ball, "Shell": c.shell}, t_end=4.0),
+    "mr_cylinder_2d": _run_single_fluid(
+        "mr_cylinder_2d",
+        lambda c, s: {"WaterBody": s.fluid, "Cylinder": c.cylinder},
+        t_end=30.0),
     "hydrostatic_fsi_2d": _run_single_fluid(
         "hydrostatic_fsi_2d",
         lambda c, s: {"WaterBody": s.fluid, "Gate": s.gate, "Wall": c.wall},
