@@ -72,9 +72,16 @@ def main() -> None:
             return s.fluid["Position"]
 
     # warmup: compile + advance a bit so the flow is moving
+    import sys
+
+    print(f"[bench] built case n_fluid={n_fluid} n_wall={n_wall}; "
+          "compiling + warming up...", file=sys.stderr, flush=True)
+    t_w = time.perf_counter()
     dt_adv_est = 0.25 * h / db.U_REF
     sim = run_chunk(sim, jnp.asarray(5 * dt_adv_est, sim.time.dtype))
     jax.block_until_ready(ready(sim))
+    print(f"[bench] warmup done in {time.perf_counter()-t_w:.0f}s",
+          file=sys.stderr, flush=True)
 
     # timed: n_steps advection steps in ONE device dispatch; two timed
     # repetitions, best taken — the first timed dispatch in a process

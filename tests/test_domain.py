@@ -155,3 +155,47 @@ def test_beam_distributed_matched_step_parity(mesh8):
     want_vel = np.asarray(sim_s.solid["Velocity"])[:n]
     np.testing.assert_allclose(got["Position"], want_pos, atol=1e-6)
     np.testing.assert_allclose(got["Velocity"], want_vel, atol=1e-4)
+
+
+def test_fsi2_distributed_matched_step_parity(mesh8):
+    """Distributed fsi2 (VERDICT r2 item 5): x-periodic fluid slabs + a
+    REPLICATED elastic insert whose fluid forces are psum'd over the ring.
+    Same-dt matched-step parity against the single-device case."""
+    from sphinxsys_tpu.cases import fsi2
+
+    case, fluid, solid = fsi2.build_case(dx=0.1)
+    n_real = int(fluid["NReal"])
+    fluid = dict(fluid)
+    fluid["OriginalID"] = jnp.arange(fluid["Position"].shape[0],
+                                     dtype=jnp.int32)
+
+    sim_d = hc.distribute_fsi2(case, fluid, solid, mesh8)
+    step_d = hc.make_halo_fsi2_step(case, mesh8, halo_cap=128,
+                                    migrate_cap=64)
+
+    sim_s = fsi2.init_sim(case, {k: v for k, v in fluid.items()
+                                 if k != "OriginalID"}, solid)
+    step_s = jax.jit(lambda s: fsi2._advection_step(case, s))
+
+    n_steps = 4
+    for _ in range(n_steps):
+        sim_d = step_d(sim_d)
+        sim_s = step_s(sim_s)
+
+    assert not bool(sim_d.overflow)
+    assert int(sim_d.n_adv) == int(sim_s.n_adv) == n_steps
+    assert int(sim_d.n_ac) == int(sim_s.n_ac)
+
+    got = _gather_by_id(sim_d.fluid, n_real)
+    n_f = int(sim_s.fluid["NReal"])
+    np.testing.assert_allclose(got["Velocity"][:n_f],
+                               np.asarray(sim_s.fluid["Velocity"])[:n_f],
+                               atol=2e-3)
+    # the replicated solid matches the single-device solid
+    solid_d = sim_d.aux[0]
+    np.testing.assert_allclose(np.asarray(solid_d["Position"]),
+                               np.asarray(sim_s.solid["Position"]),
+                               atol=1e-4)
+    assert int(sim_d.aux[1]) == int(sim_s.n_s)
+    np.testing.assert_allclose(float(sim_d.aux[2]), float(sim_s.time),
+                               rtol=1e-5)
