@@ -29,8 +29,11 @@ def main() -> None:
     import numpy as np
 
     bench_case = os.environ.get("BENCH_CASE", "dambreak_2d")
+    # 2D default 0.0025 = 320k fluid particles: the N-scaling curve now
+    # RISES with N (bounded re-slot), so the large-N point is both the
+    # strongest and the BASELINE-relevant one (100k-5M window)
     dx = float(os.environ.get("BENCH_DX",
-                              "0.01" if bench_case == "dambreak_3d" else "0.005"))
+                              "0.01" if bench_case == "dambreak_3d" else "0.0025"))
     n_steps = int(os.environ.get("BENCH_STEPS", "40"))
     engine = os.environ.get("BENCH_ENGINE", "pallas")
 
