@@ -2,8 +2,13 @@
 Cylinder_TotalViscousForceFromFluid DTW databases (steady band
 0.30-0.38 after the wake develops).  Run:
   PYTHONPATH=/root/repo MRC_TEND=30 python benchmarks/run_mr_cylinder_validation.py
-Status (round 3): t<=6 gives 0.58-0.63, still relaxing from the
-unrelaxed lattice start; the steady-state comparison needs t >> 10.
+Status (round 3): the viscous drag levels at ~0.7-0.8 by t=12 (CPU run,
+pre-ramp-fix startup) vs the reference band 0.30-0.38 — a systematic ~2x
+the reference despite a healthy flow core (near-cylinder vmax ~ 1.1 U)
+and a formula-identical observable (ViscousForceFromFluid verified line
+by line).  Open calibration items: the unrelaxed lattice start (first
+fluid ring rho 0.81 at init) and the near-wall velocity-gradient model
+at 10 cells/radius.  Round-4 item.
 """
 import os
 import time

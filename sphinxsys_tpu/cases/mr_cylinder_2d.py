@@ -267,8 +267,14 @@ def free_stream_target(pos, vel, t):
 
 
 def _startup_force(fluid, t):
-    """StartupAcceleration (Vec2d(U_f, 0), 2.0): ramped body acceleration
-    driving the stream."""
+    """Startup body force.  DEVIATION from the reference's
+    StartupAcceleration (external_force.h:59-73, a = 0.5 pi sin(pi t/T) U:
+    an impulse of 2U that overshoots the stream to ~2U and relies on the
+    boundary conditions to regulate back down): a gentler cosine ramp
+    whose impulse is U/2 — the inflow/free-stream conditions carry the
+    stream to exactly U either way, without the violent overshoot
+    transient (measured |v| 2.8 near the cylinder at t=3 with the
+    reference ramp vs 1.1 with this one)."""
     a = jnp.where(t < T_REF,
                   0.5 * (U_F / T_REF) * (1.0 - jnp.cos(jnp.pi * t / T_REF)),
                   0.0)

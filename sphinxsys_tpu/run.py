@@ -98,6 +98,8 @@ CASES = {
     "ball_shell_collision_3d": _run_single_fluid(
         "ball_shell_collision_3d",
         lambda c, s: {"BallBody": s.ball, "Shell": c.shell}, t_end=4.0),
+    "fvm_channel_3d": _run_single_fluid(
+        "fvm_channel_3d", lambda c, s: {}, t_end=2.0),
     "mr_cylinder_2d": _run_single_fluid(
         "mr_cylinder_2d",
         lambda c, s: {"WaterBody": s.fluid, "Cylinder": c.cylinder},

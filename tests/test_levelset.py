@@ -194,3 +194,27 @@ def test_levelset_3d_body_fitted_relaxation():
     sd_r = np.asarray(shape.signed_distance(relaxed))
     assert sd_r.max() < 0.5 * dx
     assert np.isfinite(np.asarray(relaxed)).all()
+
+
+def test_trimesh_to_levelset_scaling_path():
+    """STL/triangle-mesh bodies at scale: the dense O(N_query * faces)
+    trimesh signed distance runs ONCE at level-set build; every runtime
+    probe (SDF / normals / kernel integrals / relaxation) is then an O(1)
+    package lookup — the TPU answer to the reference's BVH
+    (TriangleMeshDistance.h)."""
+    from sphinxsys_tpu.core.trimesh import icosphere_mesh
+
+    mesh = icosphere_mesh(radius=1.0, subdivisions=3)  # 1280 faces
+    ls = build_levelset(mesh, (-1.6, -1.6, -1.6), (1.6, 1.6, 1.6),
+                        spacing=0.1)
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(-1.4, 1.4, (48, 3)), jnp.float32)
+    want = np.linalg.norm(np.asarray(pts), axis=1) - 1.0
+    sd = np.asarray(ls.probe_signed_distance(pts))
+    band = np.abs(want) < 0.4
+    # icosphere(3) deviates from the true sphere by ~1e-3; grid adds O(dx)
+    assert np.abs(sd[band] - want[band]).max() < 0.03
+    n = np.asarray(ls.probe_normal_direction(pts))
+    e = np.asarray(pts) / np.linalg.norm(np.asarray(pts), axis=1,
+                                         keepdims=True)
+    assert np.abs((n - e)[band]).max() < 0.12
