@@ -100,6 +100,10 @@ CASES = {
         lambda c, s: {"BallBody": s.ball, "Shell": c.shell}, t_end=4.0),
     "fvm_channel_3d": _run_single_fluid(
         "fvm_channel_3d", lambda c, s: {}, t_end=2.0),
+    "elastic_gate_2d": _run_single_fluid(
+        "elastic_gate_2d",
+        lambda c, s: {"WaterBody": s.fluid, "Gate": s.gate, "Wall": c.wall},
+        t_end=400.0),
     "standing_wave_2d": _run_single_fluid(
         "standing_wave_2d",
         lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=10.0),
