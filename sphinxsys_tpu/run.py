@@ -17,6 +17,15 @@ import logging
 import os
 import time
 
+import jax
+
+# The axon sitecustomize pins jax_platforms to the remote TPU plugin
+# AFTER jax has read JAX_PLATFORMS from the environment, so re-assert the
+# user's choice here — `JAX_PLATFORMS=cpu python -m sphinxsys_tpu.run ...`
+# must actually run on CPU (and must not hang when the TPU tunnel is down).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,6 +116,10 @@ CASES = {
     "standing_wave_2d": _run_single_fluid(
         "standing_wave_2d",
         lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=10.0),
+    "water_entry_exit_2d": _run_single_fluid(
+        "water_entry_exit_2d",
+        lambda c, s: {"WaterBody": s.fluid, "Cylinder": s.cyl,
+                      "Wall": c.wall}, t_end=1.0),
     "mr_cylinder_2d": _run_single_fluid(
         "mr_cylinder_2d",
         lambda c, s: {"WaterBody": s.fluid, "Cylinder": c.cylinder},

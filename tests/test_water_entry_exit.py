@@ -1,0 +1,71 @@
+"""Water entry of a free rigid cylinder with wetting diffusion
+(cases/water_entry_exit_2d.py vs test_2d_water_entry_exit.cpp).
+
+Runs the coarse (dx = 2r/20) case to t = 0.5 — through free fall, impact,
+maximum submergence, and the start of the buoyant rebound — and asserts
+the trajectory/wetting features of the reference DB (dx = 2r/40):
+run 0 has min y = 0.0964 and Phi(bottom) > 0.97 shortly after entry.
+"""
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sphinxsys_tpu.cases import water_entry_exit_2d as we
+
+
+@pytest.fixture(scope="module")
+def trajectory():
+    case, fluid = we.build_case(dx=2 * we.R_CYL / 20)
+    s = we.init_sim(case, fluid)
+    run = we.make_run_chunk(case)
+    ts, ys, xs, phis = [0.0], [float(s.rb.com[1])], [float(s.rb.com[0])], [0.0]
+    for i in range(1, 11):
+        s = run(s, jnp.asarray(i * 0.05, s.time.dtype))
+        ts.append(float(s.time))
+        ys.append(float(s.rb.com[1]))
+        xs.append(float(s.rb.com[0]))
+        phis.append(float(we.bottom_wetting(case, s)))
+    assert not bool(s.overflow)
+    return case, np.array(ts), np.array(xs), np.array(ys), np.array(phis)
+
+
+def test_free_fall_before_impact(trajectory):
+    # bottom touches the surface at t = sqrt(2*0.095/g) ~ 0.139; at t = 0.1
+    # the cylinder is in free flight: y = y0 - g t^2 / 2 exactly.
+    _, ts, _, ys, _ = trajectory
+    i = int(np.argmin(np.abs(ts - 0.10)))
+    y_ballistic = we.CYL_CY - 0.5 * we.GRAVITY_G * ts[i] ** 2
+    assert abs(ys[i] - y_ballistic) < 2e-3
+
+
+def test_entry_depth_and_rebound(trajectory):
+    # reference DB run 0: min center y 0.0964 then rebound to 0.2328
+    # (CylinderObserver_Position_Run_0_result.xml); at dx = 2r/20 the
+    # entry is shallower — gate the feature band, not the DTW.
+    _, ts, _, ys, _ = trajectory
+    i_min = int(np.argmin(ys))
+    assert 0.09 < ys[i_min] < 0.145
+    assert 0.22 < ts[i_min] < 0.45
+    assert np.max(ys[i_min:]) > ys[i_min] + 0.02  # buoyant rebound underway
+
+
+def test_no_lateral_drift(trajectory):
+    # the problem is symmetric: the center must stay on x = DL/2
+    _, _, xs, _, _ = trajectory
+    assert np.max(np.abs(xs - we.DL / 2)) < 5e-3
+
+
+def test_wetting_phi_rises_and_saturates(trajectory):
+    # WettingObserver_Phi_Run_0: 0 until entry, 0.917 at the first
+    # post-entry sample, then a slow crawl to ~0.993 — Dirichlet diffusion
+    # from the Phi = 1 water with d = 100 dx^2 is fast.
+    _, ts, _, _, phis = trajectory
+    assert phis[ts < 0.1].max() == 0.0
+    assert phis[-1] > 0.9
+    assert np.all(np.diff(phis) > -1e-4)
+    assert phis.max() <= 1.0 + 1e-5
