@@ -127,6 +127,12 @@ def build_case(dx: float = 2.0 * R_CYL / 40.0, dtype=jnp.float32,
         np.asarray(eos.density_from_pressure(jnp.asarray(p_h))), dtype)
     fluid["Pressure"] = jnp.asarray(p_h, dtype)
     fluid["Phi"] = jnp.ones((fluid["Position"].shape[0],), dtype)
+    zeros_v = jnp.zeros_like(fluid["Position"])
+    fluid["ViscousForce"] = zeros_v
+    fluid["ViscousForcePrev"] = zeros_v
+    fluid["Indicator"] = jnp.zeros((len(pos_f),), jnp.int32)
+    fluid["PreviousSurfaceIndicator"] = jnp.ones((len(pos_f),), jnp.int32)
+    fluid["PositionDivergence"] = jnp.zeros((len(pos_f),), dtype)
 
     wall = make_solid_state(pos_w, vol, RHO0_F, dtype=dtype)
     wall = gd.normal_direction_from_shape(wall, wall_shape)
@@ -215,11 +221,24 @@ def _advection_step(case: EntryCase, s: SimState) -> SimState:
     fluid, cyl, rb = s.fluid, s.cyl, s.rb
     mask_c = jnp.ones((case.n_cyl,), bool)
 
+    contacts = [(case.wall, s.nl_fw, RHO0_F), (cyl, s.nl_fc, RHO0_S)]
     dt_adv = fd.advection_time_step(fluid, h, U_MAX)
-    fluid = fd.density_summation(
-        fluid, s.nl_ff, kernel, dim, RHO0_F, sigma0,
-        contacts=[(case.wall, s.nl_fw, RHO0_F), (cyl, s.nl_fc, RHO0_S)],
-        free_surface=True)
+    # free-stream indicator + bulk-scoped transport shift + viscosity,
+    # mirroring the reference's op list (test_2d_water_entry_exit.cpp:
+    # 291-298; the wetting-coupled indication variant reduces to the
+    # spatial-temporal one here since the cylinder contact is already
+    # counted in the position divergence)
+    fluid = fd.free_surface_indication(fluid, s.nl_ff, kernel, dim,
+                                       contacts=contacts,
+                                       spatial_temporal=True)
+    fluid = fd.density_summation(fluid, s.nl_ff, kernel, dim, RHO0_F, sigma0,
+                                 contacts=contacts, free_surface=True)
+    fluid = fd.viscous_force(fluid, s.nl_ff, kernel, dim, MU_F, h,
+                             walls=[(case.wall, s.nl_fw), (cyl, s.nl_fc)])
+    fluid = fd.transport_velocity_correction(
+        fluid, s.nl_ff, kernel, dim, h,
+        walls=[(case.wall, s.nl_fw), (cyl, s.nl_fc)],
+        scope_mask=fluid["Indicator"] == 0)
     cyl = fsi.viscous_force_from_fluid(cyl, fluid, s.nl_cf, kernel, dim,
                                        MU_F, h)
 

@@ -148,9 +148,14 @@ def diffusion_step(state: State, species: str, nl_inner: NeighborList, kernel,
     rate = diffusion_rate(pos, c, state["VolumetricMeasure"], pos, c, nl_inner,
                           kernel, dim, diffusion, box)
     for c_state, nl_c in dirichlet_contacts:
-        rate = rate + diffusion_rate(pos, c, c_state["VolumetricMeasure"],
-                                     c_state["Position"], c_state[species],
-                                     nl_c, kernel, dim, diffusion, box)
+        # Dirichlet boundaries double the concentration jump (ghost value
+        # reflected across the interface): phi_ij = 2 (C_i - C_j)
+        # (diffusion_dynamics.hpp:180)
+        rate = rate + 2.0 * diffusion_rate(pos, c,
+                                           c_state["VolumetricMeasure"],
+                                           c_state["Position"],
+                                           c_state[species], nl_c, kernel,
+                                           dim, diffusion, box)
     for c_state, nl_c in neumann_contacts:
         rate = rate + neumann_rate(state, species, c_state, nl_c, kernel,
                                    dim, box)
