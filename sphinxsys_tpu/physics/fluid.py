@@ -366,11 +366,18 @@ def advection_viscous_time_step(fluid: State, h_min: float, speed_ref: float,
 def viscous_force(fluid: State, nl_inner: NeighborList, kernel, dim: int,
                   mu: float, smoothing_length: float,
                   wall: State | None = None, nl_wall: NeighborList | None = None,
-                  box=None, walls: Sequence[tuple] = ()) -> State:
+                  box=None, walls: Sequence[tuple] = (),
+                  contacts: Sequence[tuple] = ()) -> State:
     """F_i += 2 mu V_i sum_j (v_i - v_j) / (r_ij + 0.01 h) dW_ij V_j
     (legacy ViscousForce<Inner<>>, viscous_dynamics.hpp; wall variant
     doubles the jump against the averaged wall velocity).  Accumulated
-    into ForcePrior via force_prior update."""
+    into ForcePrior via force_prior update.
+
+    `contacts` (other-phase fluid bodies) are ViscousForce<Contact<>>
+    (viscous_dynamics.hpp:151-190): same form as inner but against the
+    contact body's ACTUAL velocity with the PAIR-HARMONIC viscosity
+    2 mu_1 mu_2/(mu_1 + mu_2) (FixedViscosity -> PairGeomAverageFixed,
+    particle_functors.h:164-177); entries are (state, nl, mu_pair)."""
     pos, vel, vol = fluid["Position"], fluid["Velocity"], fluid["VolumetricMeasure"]
     eps_r = 0.01 * smoothing_length
 
@@ -390,6 +397,15 @@ def viscous_force(fluid: State, nl_inner: NeighborList, kernel, dim: int,
         vel_ave_k, _ = gather(wstate["AverageVelocity"], wnl.idx)
         vderiv_w = 2.0 * (vel[:, None, :] - vel_ave_k) / (pgw.r + eps_r)[..., None]
         force = force + 2.0 * mu * jnp.sum(vderiv_w * (pgw.dW * wall_vol)[..., None], axis=1)
+
+    for cstate, cnl, mu_pair in contacts:
+        pgc = pair_geometry(pos, cstate["Position"], cnl, kernel, dim,
+                            need_W=False, box=box)
+        c_vol, _ = gather(cstate["VolumetricMeasure"], cnl.idx)
+        c_vel, _ = gather(cstate["Velocity"], cnl.idx)
+        vderiv_c = (vel[:, None, :] - c_vel) / (pgc.r + eps_r)[..., None]
+        force = force + 2.0 * mu_pair * jnp.sum(
+            vderiv_c * (pgc.dW * c_vol)[..., None], axis=1)
 
     out = dict(fluid)
     out["ViscousForce"] = force * vol[:, None]

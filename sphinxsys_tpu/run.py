@@ -94,6 +94,10 @@ CASES = {
         "two_phase_dambreak_2d",
         lambda c, s: {"WaterBody": s.water, "AirBody": s.air, "Wall": c.wall},
         t_end=10.0),
+    "square_droplet_2d": _run_single_fluid(
+        "square_droplet_2d",
+        lambda c, s: {"WaterBody": s.water, "AirBody": s.air, "Wall": c.wall},
+        t_end=2.0),
     "owsc_2d": _run_single_fluid(
         "owsc_2d",
         lambda c, s: {"WaterBody": s.fluid, "Flap": s.flap, "Wall": c.wall},
