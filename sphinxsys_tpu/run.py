@@ -120,6 +120,13 @@ CASES = {
     "standing_wave_2d": _run_single_fluid(
         "standing_wave_2d",
         lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=10.0),
+    "stlw_2d": _run_single_fluid(
+        "stlw_2d",
+        lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=10.0),
+    "stfb_2d": _run_single_fluid(
+        "stfb_2d",
+        lambda c, s: {"WaterBody": s.fluid, "Structure": s.block,
+                      "Wall": c.wall}, t_end=10.0),
     "water_entry_exit_2d": _run_single_fluid(
         "water_entry_exit_2d",
         lambda c, s: {"WaterBody": s.fluid, "Cylinder": s.cyl,

@@ -56,11 +56,13 @@ def test_surface_tension_time_step_capillary_floor():
     np.testing.assert_allclose(dt, expect, rtol=1e-5)
 
 
-def test_square_droplet_rounds():
+def test_square_droplet_rounds_and_satisfies_laplace():
     """The corner radius shrinks from the square's ~0.62 (coarse lattice
-    corner) toward the equal-area circle 0.564 and the simulation stays
-    bounded (2d_square_droplet.cpp physics; full-horizon parity is the
-    refdb DTW test)."""
+    corner) toward the equal-area circle 0.564, the droplet stays
+    centered (momentum-conservative formulation), and by t = 1 the
+    pressure jump obeys the Laplace law dp = sigma / R (measured 87% of
+    sigma/R at dx = 0.08 — the CSS-type interface smearing; gate 30%).
+    Full-horizon reference comparison is the refdb DTW test."""
     case, water, air = sq.build_case(dx=0.08)
     s = sq.init_sim(case, water, air)
     r0 = sq.water_max_radius(s)
@@ -71,8 +73,20 @@ def test_square_droplet_rounds():
     ke = sq.water_kinetic_energy(s)
     assert 0.0 < ke < 5.0
     assert sq.water_max_radius(s) < r0 - 0.02   # corners pulled in
-    # droplet stays centered (momentum-conservative formulation)
     w = s.water
     valid = np.arange(w["Position"].shape[0]) < int(w["NReal"])
     com = np.asarray(w["Position"])[valid].mean(axis=0)
     assert np.linalg.norm(com) < 0.05
+
+    s = run(s, jnp.asarray(1.0, s.time.dtype))
+    assert not bool(s.overflow)
+    w, a = s.water, s.air
+    rw = np.linalg.norm(np.asarray(w["Position"]), axis=1)
+    ra = np.linalg.norm(np.asarray(a["Position"]), axis=1)
+    vw = np.arange(len(rw)) < int(w["NReal"])
+    va = np.arange(len(ra)) < int(a["NReal"])
+    p_in = float(np.median(np.asarray(w["Pressure"])[vw & (rw < 0.3)]))
+    p_out = float(np.median(np.asarray(a["Pressure"])[va & (ra > 0.75)
+                                                      & (ra < 0.95)]))
+    R = float(np.sqrt(np.asarray(w["VolumetricMeasure"])[vw].sum() / np.pi))
+    np.testing.assert_allclose(p_in - p_out, sq.SIGMA / R, rtol=0.30)
