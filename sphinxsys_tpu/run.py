@@ -223,6 +223,21 @@ CASES = {
 }
 
 
+def _run_play_simbody(cfg: RunConfig):
+    """Multibody-only case (no particles): steps the prescribed triple
+    pendulum and writes step-indexed XML state snapshots
+    (play_simbody.cpp:63-68)."""
+    from sphinxsys_tpu.cases import play_simbody_3d as ps
+    p = dict(cfg.parameters)
+    restart = int(p.pop("restart_step", 0))
+    s = ps.run_case(cfg.output_dir, restart_step=restart)
+    log.info("t=%.4f  q=%s", float(s.t), np.round(np.asarray(s.q), 6))
+    return s
+
+
+CASES["play_simbody_3d"] = _run_play_simbody
+
+
 def main(argv=None):
     import sys
 
