@@ -267,6 +267,48 @@ def from_blocks(bm: BlockMap, blocks, out_n: int):
                      out, jnp.zeros_like(out))
 
 
+def from_blocks_packed(bm: BlockMap, fb: dict, fields, n_out: int):
+    """Inverse of to_blocks_packed: recover per-particle rows for MANY
+    block fields with ONE row gather through ``particle_slot`` (requires
+    the map built with ``with_inverse=True``).  Rows whose slot is the
+    sentinel come back as zeros + a False entry in the returned mask."""
+    fdtype = jnp.result_type(*[fb[k].dtype for k in fields
+                               if fb[k].dtype != jnp.int32] or [jnp.float32])
+    idtype = jnp.int32 if fdtype == jnp.float32 else jnp.int64
+
+    def _to_container(v):
+        if v.dtype == jnp.int32:
+            return jax.lax.bitcast_convert_type(v.astype(idtype), fdtype)
+        return v.astype(fdtype)
+
+    cols = []
+    for k in fields:
+        flat = fb[k].reshape((-1,) + fb[k].shape[2:])
+        c = _to_container(flat)
+        cols.append(c[:, None] if c.ndim == 1 else c)
+    packed = jnp.concatenate(cols, axis=-1)          # ((C+1)*cap, CH)
+
+    big = bm.c_max * bm.cap
+    slot = bm.particle_slot[:n_out]
+    valid = slot < big
+    rows = packed[jnp.minimum(slot, packed.shape[0] - 1)]    # ONE gather
+
+    out = {}
+    col0 = 0
+    for k in fields:
+        v = fb[k]
+        ncol = 1 if v.ndim == 2 else v.shape[2]
+        sub = rows[:, col0:col0 + ncol]
+        if v.dtype == jnp.int32:
+            sub = jax.lax.bitcast_convert_type(sub, idtype).astype(jnp.int32)
+        else:
+            sub = sub.astype(v.dtype)
+        sub = jnp.where(valid[:, None], sub, jnp.zeros_like(sub))
+        out[k] = sub[:, 0] if v.ndim == 2 else sub
+        col0 += ncol
+    return out, valid
+
+
 def gather_window(blocks, nbr_block):
     """Gather the 3^dim window neighbor blocks: (C_max+1, cap, ...) +
     (C_max, W) -> (C_max, W, cap, ...).  Row-granularity gather (each row

@@ -127,6 +127,59 @@ def _merge_arrivals(fluid: dict, recv: dict, fields):
     return out, jnp.sum(arr_alive & ~ok) > 0
 
 
+def migrate_rows(fluid: dict, decomp: "SlabDecomposition", my_lo, my_hi,
+                 right_edge, left_edge, exchange_fields):
+    """Move boundary-crossing rows to the neighbor slab (one ppermute each
+    way); crossing rows die locally and arrivals fill dead slots."""
+    n_dev, ax, periodic = decomp.n_dev, decomp.axis, decomp.periodic
+    alive = fluid["Alive"]
+    pos = fluid["Position"]
+    go_right = alive & (pos[:, ax] >= my_hi) & (periodic | ~right_edge)
+    go_left = alive & (pos[:, ax] < my_lo) & (periodic | ~left_edge)
+    fields = {k: fluid[k] for k in exchange_fields}
+    if periodic:
+        # wrap the coordinate when crossing the domain ends
+        shift = jnp.where(go_right & right_edge, -decomp.length,
+                          jnp.where(go_left & left_edge, decomp.length, 0.0))
+        fields = dict(fields)
+        fields["Position"] = fields["Position"].at[:, ax].add(shift)
+    band_r, ovf_r = _compact_band(fields, go_right, decomp.migrate_cap)
+    band_l, ovf_l = _compact_band(fields, go_left, decomp.migrate_cap)
+    recv_l = {k: _perm_shift(v, n_dev, +1, periodic) for k, v in band_r.items()}
+    recv_r = {k: _perm_shift(v, n_dev, -1, periodic) for k, v in band_l.items()}
+    fluid = dict(fluid)
+    fluid["Alive"] = alive & ~(go_right | go_left)
+    fluid["Position"] = jnp.where((go_right | go_left)[:, None], FAR, pos)
+    fluid, movf_l = _merge_arrivals(fluid, recv_l, exchange_fields)
+    fluid, movf_r = _merge_arrivals(fluid, recv_r, exchange_fields)
+    return fluid, ovf_r | ovf_l | movf_l | movf_r
+
+
+def band_exchange(fields: dict, near_r, near_l, decomp: "SlabDecomposition",
+                  right_edge, left_edge):
+    """Exchange the given boundary-band masks' rows with the two ring
+    neighbors; returns (ghost_l, ghost_r, overflow).  Ghost positions of
+    dead band slots come back as FAR so they fall outside every grid."""
+    n_dev, ax, periodic = decomp.n_dev, decomp.axis, decomp.periodic
+    if periodic:
+        # ghosts sent across the domain ends carry wrapped coords
+        shift_r = jnp.where(near_r & right_edge, -decomp.length, 0.0)
+        shift_l = jnp.where(near_l & left_edge, decomp.length, 0.0)
+        pr = fields["Position"].at[:, ax].add(shift_r)
+        pl = fields["Position"].at[:, ax].add(shift_l)
+    else:
+        pr = pl = fields["Position"]
+    br, ovr = _compact_band(dict(fields, Position=pr), near_r, decomp.halo_cap)
+    bl, ovl = _compact_band(dict(fields, Position=pl), near_l, decomp.halo_cap)
+    gl = {k: _perm_shift(v, n_dev, +1, periodic) for k, v in br.items()}
+    gr = {k: _perm_shift(v, n_dev, -1, periodic) for k, v in bl.items()}
+    for g in (gl, gr):
+        for pk in ("Position", "InitialPosition"):
+            if pk in g:
+                g[pk] = jnp.where((g["BandAlive"] > 0.5)[:, None], g[pk], FAR)
+    return gl, gr, ovr | ovl
+
+
 class HaloContext(NamedTuple):
     """What the physics closure gets to work with inside shard_map."""
 
@@ -191,25 +244,9 @@ def make_distributed_step(decomp: SlabDecomposition, mesh: Mesh,
 
         # ---- 1. migration (skipped for reference-configuration slabs) ---
         if decomp.migrate:
-            go_right = alive & (pos[:, ax] >= my_hi) & (periodic | ~right_edge)
-            go_left = alive & (pos[:, ax] < my_lo) & (periodic | ~left_edge)
-            fields = {k: fluid[k] for k in exchange_fields}
-            if periodic:
-                # wrap the coordinate when crossing the domain ends
-                shift = jnp.where(go_right & right_edge, -decomp.length,
-                                  jnp.where(go_left & left_edge, decomp.length, 0.0))
-                fields = dict(fields)
-                fields["Position"] = fields["Position"].at[:, ax].add(shift)
-            band_r, ovf_r = _compact_band(fields, go_right, decomp.migrate_cap)
-            band_l, ovf_l = _compact_band(fields, go_left, decomp.migrate_cap)
-            recv_l = {k: _perm_shift(v, n_dev, +1, periodic) for k, v in band_r.items()}
-            recv_r = {k: _perm_shift(v, n_dev, -1, periodic) for k, v in band_l.items()}
-            fluid = dict(fluid)
-            fluid["Alive"] = alive & ~(go_right | go_left)
-            fluid["Position"] = jnp.where((go_right | go_left)[:, None], FAR, pos)
-            fluid, movf_l = _merge_arrivals(fluid, recv_l, exchange_fields)
-            fluid, movf_r = _merge_arrivals(fluid, recv_r, exchange_fields)
-            mig_overflow = ovf_r | ovf_l | movf_l | movf_r
+            fluid, mig_overflow = migrate_rows(
+                fluid, decomp, my_lo, my_hi, right_edge, left_edge,
+                exchange_fields)
         else:
             mig_overflow = jnp.zeros((), bool)
 
@@ -224,26 +261,8 @@ def make_distributed_step(decomp: SlabDecomposition, mesh: Mesh,
 
         def exchange(fluid_now):
             hf = {k: fluid_now[k] for k in halo_fields}
-            if periodic:
-                # ghosts sent across the domain ends carry wrapped coords
-                shift_r = jnp.where(near_r & right_edge, -decomp.length, 0.0)
-                shift_l = jnp.where(near_l & left_edge, decomp.length, 0.0)
-                hf = dict(hf)
-                hf["Position"] = hf["Position"].at[:, ax].add(0.0)  # copy
-                pr = hf["Position"].at[:, ax].add(shift_r)
-                pl = hf["Position"].at[:, ax].add(shift_l)
-            else:
-                pr = pl = hf["Position"]
-            br, ovr = _compact_band(dict(hf, Position=pr), near_r, halo_cap)
-            bl, ovl = _compact_band(dict(hf, Position=pl), near_l, halo_cap)
-            gl = {k: _perm_shift(v, n_dev, +1, periodic) for k, v in br.items()}
-            gr = {k: _perm_shift(v, n_dev, -1, periodic) for k, v in bl.items()}
-            for g in (gl, gr):
-                for pk in ("Position", "InitialPosition"):
-                    if pk in g:
-                        g[pk] = jnp.where((g["BandAlive"] > 0.5)[:, None],
-                                          g[pk], FAR)
-            return gl, gr, ovr | ovl
+            return band_exchange(hf, near_r, near_l, decomp,
+                                 right_edge, left_edge)
 
         ghost_l, ghost_r, halo_overflow = exchange(fluid)
         n_loc = pos.shape[0]
