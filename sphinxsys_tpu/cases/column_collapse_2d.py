@@ -88,6 +88,8 @@ def build_case(dx: float | None = None, dtype=jnp.float32, cell_cap: int = 24,
     material = cm.PlasticContinuum(rho0=RHO0_S, c0=C_S, youngs_modulus=YOUNGS,
                                    poisson_ratio=POISSON, friction_angle=FRICTION)
     soil = cm.make_continuum_state(pos_s, vol, material, dtype=dtype)
+    soil = dict(soil)
+    soil["DensitySummation"] = soil["Density"]  # registered for the carry
     gravity = gd.Gravity(acceleration=(0.0, -GRAVITY_G))
     soil = gd.gravity_force(soil, gravity)
 
@@ -135,6 +137,14 @@ def _advection_step(case: ColumnCase, s: SimState) -> SimState:
     soil = s.soil
 
     dt_adv = fd.advection_time_step(soil, h, U_REF)
+    # DensitySummationComplexFreeSurface once per outer step + the soil
+    # acoustic CFL 0.4 (column_collapse.cpp:102,104): the summation resets
+    # the continuity-evolution density drift; CFL 0.4 also matches the
+    # reference DB's snapshot cadence (records every 1000 acoustic steps)
+    soil = fd.density_summation(soil, s.nl_inner, kernel, dim, RHO0_S,
+                                case.adaptation.sigma0,
+                                contacts=[(case.wall, s.nl_wall, RHO0_S)],
+                                free_surface=True)
 
     def ac_cond(carry):
         _, rt, _ = carry
@@ -142,7 +152,7 @@ def _advection_step(case: ColumnCase, s: SimState) -> SimState:
 
     def ac_body(carry):
         so, rt, k = carry
-        dt = jnp.minimum(fd.acoustic_time_step(so, case.material, h, cfl=0.5),
+        dt = jnp.minimum(fd.acoustic_time_step(so, case.material, h, cfl=0.4),
                          dt_adv)
         so = cm.stress_diffusion(so, s.nl_inner, kernel, dim, case.material, h)
         so = cm.plastic_integration_1st_half(so, s.nl_inner, kernel, dim,
