@@ -220,6 +220,16 @@ CASES = {
     "diffusion_bcs_2d": _run_single_fluid(
         "diffusion_bcs_2d",
         lambda c, s: {"DiffusionBody": dict(s.body)}, t_end=1.0),
+    "heat_transfer_2d": _run_single_fluid(
+        "heat_transfer_2d",
+        lambda c, s: {"ThermofluidBody": s.fluid, "ThermosolidBody": c.wall},
+        t_end=10.0),
+    "poiseuille_flow_2d": _run_single_fluid(
+        "poiseuille_flow_2d",
+        lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=100.0),
+    "rotation_patch_2d": _run_single_fluid(
+        "rotation_patch_2d",
+        lambda c, s: {"WaterBody": s.fluid}, t_end=8.0),
 }
 
 
