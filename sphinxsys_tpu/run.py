@@ -230,6 +230,9 @@ CASES = {
     "rotation_patch_2d": _run_single_fluid(
         "rotation_patch_2d",
         lambda c, s: {"WaterBody": s.fluid}, t_end=8.0),
+    "sliding_2d": _run_single_fluid(
+        "sliding_2d",
+        lambda c, s: {"FreeCube": s.cube, "WallBoundary": c.wall}, t_end=2.5),
 }
 
 
