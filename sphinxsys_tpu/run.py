@@ -233,6 +233,10 @@ CASES = {
     "sliding_2d": _run_single_fluid(
         "sliding_2d",
         lambda c, s: {"FreeCube": s.cube, "WallBoundary": c.wall}, t_end=2.5),
+    "collision_2d": _run_single_fluid(
+        "collision_2d",
+        lambda c, s: {"FreeBall": s.free_ball, "DampingBall": s.damping_ball,
+                      "WallBoundary": c.wall}, t_end=10.0),
 }
 
 
