@@ -177,6 +177,25 @@ class HalfSpace(Shape):
 
 
 @dataclasses.dataclass(frozen=True)
+class InverseShape(Shape):
+    """Sign-flipped wrapper (InverseShape<>, base_geometry.h): inside and
+    outside swap — used to confine a fluid OUTSIDE an obstacle
+    (static_confinement.cpp:147)."""
+
+    base: Shape
+    name: str = "InverseShape"
+
+    def signed_distance(self, pos):
+        return -self.base.signed_distance(pos)
+
+    def contains(self, pos):
+        return ~self.base.contains(pos)
+
+    def bounds(self):
+        return self.base.bounds()
+
+
+@dataclasses.dataclass(frozen=True)
 class Polygon(Shape):
     """2D simple polygon by vertex list (counter-clockwise), counterpart of
     MultiPolygonShape (for_2D_build/geometries/multi_polygon_shape.h).

@@ -48,7 +48,8 @@ def density_summation(fluid: State, nl_inner: NeighborList, kernel, dim: int,
                       rho0: float, sigma0: float,
                       contacts: Sequence[tuple] = (),
                       free_surface: bool = True, box=None,
-                      shell_contacts: Sequence[tuple] = ()) -> State:
+                      shell_contacts: Sequence[tuple] = (),
+                      levelsets: Sequence = ()) -> State:
     """DensitySummationComplex(FreeSurface): inner + contact summation, then
     rho update.  `contacts` is a sequence of (contact_state, nl_contact,
     contact_rho0) for wall/solid bodies seen as contact.
@@ -78,6 +79,13 @@ def density_summation(fluid: State, nl_inner: NeighborList, kernel, dim: int,
 
         rho_sum = rho_sum + density_summation_shell_term(
             fluid, s_state, s_pairs, nl_s, rho0, sigma0, s_rho0)
+
+    # level-set confinement term (StaticConfinementDensity,
+    # shape_confinement.cpp:20-25): the wall region's kernel integral stands
+    # in for the missing wall-particle sum
+    for ls in levelsets:
+        ki = ls.compute_kernel_integral(pos)
+        rho_sum = rho_sum + ki * rho0 * rho0 / sigma0 / fluid["Mass"]
 
     out = dict(fluid)
     out["DensitySummation"] = rho_sum
@@ -136,7 +144,8 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
                            walls: Sequence[tuple] = (),
                            contacts: Sequence[tuple] = (),
                            correction: bool = False,
-                           shell_walls: Sequence[tuple] = ()) -> State:
+                           shell_walls: Sequence[tuple] = (),
+                           levelsets: Sequence = ()) -> State:
     """`shell_walls`: shell bodies seen as wall contacts, as (shell_state,
     neighbor_list, ShellContactPairs) triples — the corrected pair kernels
     are FROZEN per advection step (physics/shell_fluid.py).
@@ -214,6 +223,12 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
         force_total = force_total + force_s * vol[:, None]
         drho_dt = drho_dt + rho_diss_s * rho
 
+    # level-set confinement pressure force (StaticConfinementIntegration
+    # 1stHalf, shape_confinement.cpp:39-43): F -= 2 V_i p_i * KGI(pos)
+    for ls in levelsets:
+        kgi = ls.compute_kernel_gradient_integral(pos)
+        force_total = force_total - 2.0 * (p * vol)[:, None] * kgi
+
     # --- interaction: fluid-fluid contacts (hpp:132-157) -------------------
     for cstate, cnl, crs in contacts:
         pgc = pair_geometry(pos, cstate["Position"], cnl, kernel, dim,
@@ -249,7 +264,8 @@ def acoustic_step_2nd_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
                            wall_riemann=None, box=None,
                            walls: Sequence[tuple] = (),
                            contacts: Sequence[tuple] = (),
-                           shell_walls: Sequence[tuple] = ()) -> State:
+                           shell_walls: Sequence[tuple] = (),
+                           levelsets: Sequence = ()) -> State:
     out = dict(fluid)
     # --- initialization ---------------------------------------------------
     pos = fluid["Position"] + fluid["Velocity"] * (0.5 * dt)
@@ -297,6 +313,13 @@ def acoustic_step_2nd_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
             vel, fluid, sstate, spairs, snl, wr)
         drho_dt = drho_dt + dcr_s * rho
         force = force + p_diss_s * vol[:, None]
+
+    # level-set confinement density relaxation (StaticConfinementIntegration
+    # 2ndHalf, shape_confinement.cpp:57-62): the wall mirror velocity is
+    # -v_i, so drho/dt += rho * 2 v_i . KGI(pos)
+    for ls in levelsets:
+        kgi = ls.compute_kernel_gradient_integral(pos)
+        drho_dt = drho_dt + 2.0 * rho * jnp.sum(vel * kgi, axis=-1)
 
     # --- interaction: fluid-fluid contacts (hpp:248-272) ---------------------
     for cstate, cnl, crs in contacts:

@@ -237,6 +237,9 @@ CASES = {
         "collision_2d",
         lambda c, s: {"FreeBall": s.free_ball, "DampingBall": s.damping_ball,
                       "WallBoundary": c.wall}, t_end=10.0),
+    "static_confinement_2d": _run_single_fluid(
+        "static_confinement_2d",
+        lambda c, s: {"WaterBody": s.fluid}, t_end=20.0),
 }
 
 
