@@ -135,6 +135,18 @@ class ElasticSolid(Solid):
     def stress_PK1(self, F):
         return F @ self.stress_PK2(F)
 
+    @property
+    def shear_wave_speed(self) -> float:
+        """cs0 = sqrt(G/rho0) (elastic_solid.cpp setSoundSpeeds)."""
+        import math
+
+        return math.sqrt(self.shear_modulus / self.rho0)
+
+    def volumetric_kirchhoff(self, J):
+        """Volumetric Kirchhoff stress scalar for the decomposed shear/
+        volumetric split (elastic_solid.cpp:98): K J (J - 1)."""
+        return self.bulk_modulus * J * (J - 1.0)
+
 
 @dataclasses.dataclass(frozen=True)
 class LinearElasticSolid(ElasticSolid):
@@ -215,6 +227,10 @@ class NeoHookeanSolid(ElasticSolid):
         dev = Jm23[..., None, None] * (eye - (trC / dim)[..., None, None] * Cinv)
         vol = (K * J * (J - 1.0))[..., None, None] * Cinv
         return G * dev + vol
+
+    def volumetric_kirchhoff(self, J):
+        """elastic_solid.cpp:129: 0.5 K (J^2 - 1)."""
+        return 0.5 * self.bulk_modulus * (J * J - 1.0)
 
 
 @dataclasses.dataclass(frozen=True)

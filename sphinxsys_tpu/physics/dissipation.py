@@ -81,16 +81,23 @@ def damping_pairwise(state: State, field: str, nl_inner: NeighborList, kernel,
 def damping_pairwise_wall(state: State, field: str, wall: State,
                           nl_wall: NeighborList, kernel, dim: int, eta: float,
                           dt, capacity_key: str = "Mass",
-                          wall_field: str | None = None, box=None) -> State:
-    """DampingPairwiseFromWall (particle_dynamics_dissipation.hpp): implicit
-    damping of `field` toward the wall's value (zero for static walls).
-    The wall side never updates, so the per-pair implicit increment is
+                          wall_field: str | None = None, box=None,
+                          n_sweeps: int = 2) -> State:
+    """Damping<Contact<Pairwise, Wall>> (particle_dynamics_dissipation.hpp:
+    123-157): implicit damping of `field` toward the wall's value (zero for
+    static walls).  The wall side never updates; the reference's per-pair
+    implicit increment is
 
         b      = rate dW_ij V_i V_j dt / r_ij   (b <= 0)
-        phi_i += b (phi_i - phi_w) / (C_i - b)
+        phi_i += b (phi_i - phi_w) / (C_i - 2 b)
 
-    applied simultaneously over wall neighbors with the same overshoot
-    limiter as damping_pairwise."""
+    and each wall pair is visited TWICE per exec (forward + backward
+    sweep) — matched here by `n_sweeps` Jacobi passes with the same
+    overshoot limiter as damping_pairwise.  (The 2-sweep count is also
+    what makes the pairwise-damping Laplacian consistent with viscosity
+    eta: one sweep of b carries eta/2, see damping_pairwise — validated
+    against the analytic startup Poiseuille profile in
+    tests/test_throat.py.)"""
     out = dict(state)
     phi = state[field]
     cap = state[capacity_key]
@@ -100,7 +107,7 @@ def damping_pairwise_wall(state: State, field: str, wall: State,
                        dim, need_W=False, box=box)
     wvol_j, _ = gather(wall["VolumetricMeasure"], nl_wall.idx)
     b = eta * pg.dW * vol[:, None] * wvol_j * dt / (pg.r + TINY)
-    coef = -b / (cap[:, None] - b)                    # >= 0
+    coef = -b / (cap[:, None] - 2.0 * b)              # >= 0
     a = jnp.sum(coef, axis=1)
     coef = coef * jnp.minimum(1.0, 1.0 / jnp.maximum(a[:, None], TINY))
 
@@ -108,11 +115,12 @@ def damping_pairwise_wall(state: State, field: str, wall: State,
         phi_w, _ = gather(wall[wall_field], nl_wall.idx)
     else:
         phi_w = 0.0
-    if phi.ndim == 2:
-        diff = phi[:, None, :] - (phi_w if wall_field else jnp.zeros_like(pg.e))
-        phi = phi - jnp.sum(coef[..., None] * diff, axis=1)
-    else:
-        diff = phi[:, None] - (phi_w if wall_field else 0.0)
-        phi = phi - jnp.sum(coef * diff, axis=1)
+    for _ in range(n_sweeps):
+        if phi.ndim == 2:
+            diff = phi[:, None, :] - (phi_w if wall_field else jnp.zeros_like(pg.e))
+            phi = phi - jnp.sum(coef[..., None] * diff, axis=1)
+        else:
+            diff = phi[:, None] - (phi_w if wall_field else 0.0)
+            phi = phi - jnp.sum(coef * diff, axis=1)
     out[field] = phi
     return out

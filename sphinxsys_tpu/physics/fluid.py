@@ -145,7 +145,8 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
                            contacts: Sequence[tuple] = (),
                            correction: bool = False,
                            shell_walls: Sequence[tuple] = (),
-                           levelsets: Sequence = ()) -> State:
+                           levelsets: Sequence = (),
+                           extra_force=None) -> State:
     """`shell_walls`: shell bodies seen as wall contacts, as (shell_state,
     neighbor_list, ShellContactPairs) triples — the corrected pair kernels
     are FROZEN per advection step (physics/shell_fluid.py).
@@ -244,6 +245,10 @@ def acoustic_step_1st_half(fluid: State, nl_inner: NeighborList, kernel, dim: in
         drho_dt = drho_dt + rho_diss_c * rho
 
     # --- update -----------------------------------------------------------
+    if extra_force is not None:
+        # composed force term (e.g. the Oldroyd-B polymeric stress force,
+        # physics/oldroyd.py) folded into this half's velocity update
+        force_total = force_total + extra_force
     vel = fluid["Velocity"] + (fluid["ForcePrior"] + force_total) / fluid["Mass"][:, None] * dt
 
     out.update({

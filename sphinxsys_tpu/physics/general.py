@@ -75,9 +75,19 @@ def quantity_summation(state: State, name: str):
     return jnp.sum(jnp.where(mask, arr, 0.0))
 
 
-def velocity_gradient(state: State, nl, kernel, dim: int, box=None):
+def velocity_gradient(state: State, nl, kernel, dim: int, box=None,
+                      walls=(), distance_from_wall=None):
     """grad v_i = -sum_j (v_i - v_j) outer gradW_ij V_j
-    (velocity_gradient.* / general gradient ops)."""
+    (velocity_gradient.* / general gradient ops).
+
+    `walls`: (wall_state, nl_wall) pairs add the VelocityGradient
+    <Contact<Wall>> term (velocity_gradient.cpp:12-33): the pair velocity
+    jump is amplified by factor = 1 - d_w.(d_w - r e)/|d_w|^2, the linear
+    extrapolation of the no-slip condition from the wall SURFACE (at
+    distance-from-wall vector d_w) to the dummy particle.  Pass
+    `distance_from_wall` (N, dim), e.g. computed exactly from the wall
+    shape's SDF — sd(pos) * normal(pos) — in place of the reference's
+    particle-reconstructed DistanceFromWall (near_wall_boundary.cpp)."""
     from sphinxsys_tpu.neighbors.neighbor_list import gather
     from sphinxsys_tpu.physics.pair import pair_geometry
 
@@ -86,7 +96,23 @@ def velocity_gradient(state: State, nl, kernel, dim: int, box=None):
     vel_j, _ = gather(vel, nl.idx)
     vol_j, _ = gather(state["VolumetricMeasure"], nl.idx)
     grad = (pg.dW * vol_j)[..., None] * pg.e
-    return -jnp.einsum("nki,nkj->nij", vel[:, None, :] - vel_j, grad)
+    g = -jnp.einsum("nki,nkj->nij", vel[:, None, :] - vel_j, grad)
+
+    for wstate, wnl in walls:
+        pgw = pair_geometry(pos, wstate["Position"], wnl, kernel, dim,
+                            need_W=False, box=box)
+        wvol, _ = gather(wstate["VolumetricMeasure"], wnl.idx)
+        wvel, _ = gather(wstate["AverageVelocity"], wnl.idx)
+        gradw = (pgw.dW * wvol)[..., None] * pgw.e
+        dvel = vel[:, None, :] - wvel
+        if distance_from_wall is not None:
+            dw = distance_from_wall
+            ddiff = dw[:, None, :] - pgw.r[..., None] * pgw.e
+            dw2 = jnp.sum(dw * dw, axis=-1) + 1.0e-15
+            factor = 1.0 - jnp.sum(dw[:, None, :] * ddiff, axis=-1) / dw2[:, None]
+            dvel = factor[..., None] * dvel
+        g = g - jnp.einsum("nki,nkj->nij", dvel, gradw)
+    return g
 
 
 def vorticity(state: State, nl, kernel, dim: int, box=None):

@@ -157,6 +157,65 @@ def integration_1st_half_pk2(solid: State, rp: ReferencePairs, material,
     return out
 
 
+def decomposed_integration_1st_half(solid: State, rp: ReferencePairs,
+                                    material, dt, smoothing_length: float,
+                                    correction_factor: float = 1.07) -> State:
+    """DecomposedIntegration1stHalf (elastic_dynamics.cpp:162-184,
+    elastic_dynamics.h:259-287): Kirchhoff stress decomposition — the
+    volumetric part rides the usual stress-pair sum while the deviatoric
+    (shear) part becomes a pairwise hourglass-free central force along the
+    CURRENT pair direction:
+
+      S_i      = F_i^-T [VolK(J) - cf G J^{-2/d} tr(F F^T)/d]
+                 + NumericalDampingLeftCauchy(F, dF/dt, h) F_i^-T
+      shear_ij = cf G (J_i^{-2/d} + J_j^{-2/d}) (x_i - x_j)/r0_ij
+      F_i      = m_i/rho0 sum_j [(S_i + S_j) e0_ij + shear_ij] dW0 V_j
+
+    (frozen reference kernel/volumes; robust for very large rotation, used
+    by test_3d_twisting_column.)"""
+    out = dict(solid)
+    dim = solid["Position"].shape[1]
+    rho0 = material.rho0
+    G = material.shear_modulus
+
+    # --- initialization ----------------------------------------------------
+    pos = solid["Position"] + solid["Velocity"] * (0.5 * dt)
+    F = solid["DeformationGradient"] + solid["DeformationRate"] * (0.5 * dt)
+    dF = solid["DeformationRate"]
+    J = jnp.linalg.det(F)
+    rho = rho0 / J
+    Jm2d = (1.0 / (J * J)) ** (1.0 / dim)
+    invFT = jnp.swapaxes(jnp.linalg.inv(F), -1, -2)
+    trFFT = jnp.einsum("nij,nij->n", F, F)
+    scalar = (material.volumetric_kirchhoff(J)
+              - correction_factor * G * Jm2d * trFFT / dim)
+    # NumericalDampingLeftCauchy (elastic_solid.h:91-97)
+    sr = 0.5 * (dF @ jnp.swapaxes(F, -1, -2) + F @ jnp.swapaxes(dF, -1, -2))
+    diag = jnp.eye(dim, dtype=F.dtype) * sr
+    damp = 0.5 * rho0 * (material.shear_wave_speed * (sr - diag)
+                         + material.sound_speed * diag) * smoothing_length
+    S = scalar[:, None, None] * invFT + damp @ invFT
+
+    # --- interaction ---------------------------------------------------------
+    vol_j, _ = gather(solid["VolumetricMeasure"], rp.idx)
+    S_j, _ = gather(S, rp.idx)
+    Jm2d_j, _ = gather(Jm2d, rp.idx)
+    pos_j, _ = gather(pos, rp.idx)
+    shear = (correction_factor * G * (Jm2d[:, None] + Jm2d_j)
+             / (rp.r + TINY))[..., None] * (pos[:, None, :] - pos_j)
+    pair = jnp.einsum("nkij,nkj->nki", S[:, None] + S_j, rp.e) + shear
+    coeff = (rp.dW * vol_j * rp.mask)[..., None]
+    force = (solid["Mass"] / rho0)[:, None] * jnp.sum(pair * coeff, axis=1)
+
+    # --- update ----------------------------------------------------------------
+    vel = solid["Velocity"] + (solid["ForcePrior"] + force) / solid["Mass"][:, None] * dt
+    out.update({
+        "Position": pos, "DeformationGradient": F, "Density": rho,
+        "Force": force, "Velocity": vel,
+    })
+    return out
+
+
 def integration_2nd_half(solid: State, rp: ReferencePairs, dt) -> State:
     out = dict(solid)
     pos = solid["Position"] + solid["Velocity"] * (0.5 * dt)

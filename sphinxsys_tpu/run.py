@@ -240,6 +240,13 @@ CASES = {
     "static_confinement_2d": _run_single_fluid(
         "static_confinement_2d",
         lambda c, s: {"WaterBody": s.fluid}, t_end=20.0),
+    "throat_2d": _run_single_fluid(
+        "throat_2d",
+        lambda c, s: {"FluidBody": s.fluid, "WallBoundary": c.wall},
+        t_end=40.0),
+    "twisting_column_3d": _run_single_fluid(
+        "twisting_column_3d",
+        lambda c, s: {"Column": s.column}, t_end=0.5),
 }
 
 
