@@ -75,13 +75,22 @@ def diffusion_time_step(h: float, diffusion, dim: int) -> float:
 # ---------------------------------------------------------------------------
 
 def diffusion_rate(pos_q, species_q, vol_s, pos_s, species_s, nl: NeighborList,
-                   kernel, dim: int, diffusion, box=None):
-    """dC/dt contribution through one relation."""
+                   kernel, dim: int, diffusion, box=None, B_q=None, B_s=None):
+    """dC/dt contribution through one relation.  `B_q`/`B_s`: linear
+    gradient correction matrices of the two sides — when given, the pair
+    surface area uses the corrected kernel gradient
+    0.5 (B_i + B_j) e (CorrectedKernelGradientInner,
+    diffusion_dynamics.h:92-103), restoring consistency at truncated
+    supports (domain corners/edges)."""
     pg = pair_geometry(pos_q, pos_s, nl, kernel, dim, need_W=False, box=box)
     vol_j, _ = gather(vol_s, nl.idx)
     c_j, _ = gather(species_s, nl.idx)
     d_ij = diffusion.inter_particle_coeff(pg.e)
     area = 2.0 * pg.dW * vol_j / (pg.r + TINY)
+    if B_q is not None:
+        B_j, _ = gather(B_s if B_s is not None else B_q, nl.idx)
+        Be = jnp.einsum("nkab,nkb->nka", 0.5 * (B_q[:, None] + B_j), pg.e)
+        area = area * jnp.sum(Be * pg.e, axis=-1)
     return jnp.sum(d_ij * (species_q[:, None] - c_j) * area, axis=1)
 
 
@@ -135,7 +144,8 @@ def robin_rate(state: State, species: str, contact_state: State,
 def diffusion_step(state: State, species: str, nl_inner: NeighborList, kernel,
                    dim: int, diffusion, dt, dirichlet_contacts: Sequence[tuple] = (),
                    neumann_contacts: Sequence[tuple] = (),
-                   robin_contacts: Sequence[tuple] = (), box=None) -> State:
+                   robin_contacts: Sequence[tuple] = (), box=None,
+                   correction: bool = False) -> State:
     """One explicit Euler diffusion step.
       dirichlet_contacts: (contact_state, nl_contact) with fixed `species`
           values (Dirichlet<...>, diffusion_dynamics.h:173-207)
@@ -145,8 +155,9 @@ def diffusion_step(state: State, species: str, nl_inner: NeighborList, kernel,
           "<species>Convection" (diffusion_dynamics.h:212-231)."""
     pos = state["Position"]
     c = state[species]
+    B = state["LinearGradientCorrectionMatrix"] if correction else None
     rate = diffusion_rate(pos, c, state["VolumetricMeasure"], pos, c, nl_inner,
-                          kernel, dim, diffusion, box)
+                          kernel, dim, diffusion, box, B_q=B)
     for c_state, nl_c in dirichlet_contacts:
         # Dirichlet boundaries double the concentration jump (ghost value
         # reflected across the interface): phi_ij = 2 (C_i - C_j)
@@ -171,16 +182,17 @@ def diffusion_step_rk2(state: State, species: str, nl_inner: NeighborList,
                        kernel, dim: int, diffusion, dt,
                        dirichlet_contacts: Sequence[tuple] = (), box=None,
                        neumann_contacts: Sequence[tuple] = (),
-                       robin_contacts: Sequence[tuple] = ()) -> State:
+                       robin_contacts: Sequence[tuple] = (),
+                       correction: bool = False) -> State:
     """Second-order Runge-Kutta: C_half via two Euler steps averaged with
     the initial value (DiffusionRelaxationRK2, diffusion_dynamics.h)."""
     c0 = state[species]
     s1 = diffusion_step(state, species, nl_inner, kernel, dim, diffusion, dt,
                         dirichlet_contacts, neumann_contacts, robin_contacts,
-                        box)
+                        box, correction)
     s2 = diffusion_step(s1, species, nl_inner, kernel, dim, diffusion, dt,
                         dirichlet_contacts, neumann_contacts, robin_contacts,
-                        box)
+                        box, correction)
     out = dict(s2)
     out[species] = 0.5 * (c0 + s2[species])
     return out
@@ -264,6 +276,8 @@ def electrophysiology_step(state: State, nl_inner: NeighborList, kernel,
     full diffusion of Voltage, half reaction backward — the composition
     used by the electrophysiology cases (electro_physiology.h:42-104)."""
     s = reaction_step(state, model, 0.5 * dt)
-    s = diffusion_step_rk2(s, "Voltage", nl_inner, kernel, dim, diffusion, dt, box=box)
+    s = diffusion_step_rk2(s, "Voltage", nl_inner, kernel, dim, diffusion, dt,
+                           box=box,
+                           correction="LinearGradientCorrectionMatrix" in s)
     s = reaction_step(s, model, 0.5 * dt, backward=True)
     return s

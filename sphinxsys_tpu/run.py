@@ -247,6 +247,9 @@ CASES = {
     "twisting_column_3d": _run_single_fluid(
         "twisting_column_3d",
         lambda c, s: {"Column": s.column}, t_end=0.5),
+    "depolarization_2d": _run_single_fluid(
+        "depolarization_2d",
+        lambda c, s: {"MuscleBlock": dict(s.body)}, t_end=16.0),
 }
 
 
