@@ -250,6 +250,9 @@ CASES = {
     "depolarization_2d": _run_single_fluid(
         "depolarization_2d",
         lambda c, s: {"MuscleBlock": dict(s.body)}, t_end=16.0),
+    "passive_cantilever_3d": _run_single_fluid(
+        "passive_cantilever_3d",
+        lambda c, s: {"CantileverBody": s.body}, t_end=3.0),
 }
 
 
