@@ -253,6 +253,9 @@ CASES = {
     "passive_cantilever_3d": _run_single_fluid(
         "passive_cantilever_3d",
         lambda c, s: {"CantileverBody": s.body}, t_end=3.0),
+    "filling_tank_2d": _run_single_fluid(
+        "filling_tank_2d",
+        lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=30.0),
 }
 
 
