@@ -256,6 +256,10 @@ CASES = {
     "filling_tank_2d": _run_single_fluid(
         "filling_tank_2d",
         lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=30.0),
+    "t_pipe_2d": _run_single_fluid(
+        "t_pipe_2d",
+        lambda c, s: {"WaterBody": s.fluid, "WallBoundary": c.wall},
+        t_end=100.0),
 }
 
 
