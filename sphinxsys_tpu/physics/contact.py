@@ -97,6 +97,42 @@ def repulsion_force_wall(solid: State, wall: State, nl: NeighborList, kernel,
     return force_prior_update(solid, force_name, force)
 
 
+def filter_self_contact_pairs(nl: NeighborList, pos0, cutoff: float
+                              ) -> NeighborList:
+    """NeighborBuilderSelfContact (neighborhood.cpp:128-141): keep only
+    pairs whose INITIAL separation exceeds the kernel cutoff — material
+    neighbors never register as self contact, whatever the deformation.
+    Filtered slots get the sentinel index."""
+    n = pos0.shape[0]
+    p0_j, mask = gather(pos0, nl.idx)
+    d0 = jnp.linalg.norm(pos0[:, None, :] - p0_j, axis=-1)
+    keep = mask & (d0 > cutoff)
+    idx = jnp.where(keep, nl.idx, n)
+    return NeighborList(idx=idx, count=jnp.sum(keep, axis=1).astype(
+        nl.count.dtype), overflow=nl.overflow)
+
+
+def repulsion_force_self(solid: State, nl_self: NeighborList, kernel,
+                         dim: int, factor, rho0: float, stiffness: float,
+                         force_name: str = "RepulsionForce") -> State:
+    """SelfContactForce = RepulsionForce<Contact<Inner<>>>
+    (contact_repulsion.cpp:17-32): symmetric pressure-like penalty over the
+    self-contact pairs plus acoustic impedance damping
+    Z = sqrt(rho0 * ContactStiffness) on the pair-normal velocity jump."""
+    pg = pair_geometry(solid["Position"], solid["Position"], nl_self, kernel,
+                       dim, need_W=False)
+    vol_j, _ = gather(solid["VolumetricMeasure"], nl_self.idx)
+    sig_j, _ = gather(factor, nl_self.idx)
+    vel_j, _ = gather(solid["Velocity"], nl_self.idx)
+    p_star = 0.5 * (factor[:, None] + sig_j) * stiffness
+    z = math.sqrt(rho0 * stiffness)
+    du = jnp.sum((solid["Velocity"][:, None, :] - vel_j) * (-pg.e), axis=-1)
+    term = p_star + 0.5 * z * du
+    force = -jnp.sum((2.0 * term * pg.dW * vol_j)[..., None] * pg.e, axis=1)
+    force = force * solid["VolumetricMeasure"][:, None]
+    return force_prior_update(solid, force_name, force)
+
+
 def pairwise_friction_from_wall(solid: State, wall: State, nl: NeighborList,
                                 kernel, dim: int, eta: float, dt) -> State:
     """PairwiseFrictionFromWall (contact_friction.h:49): implicit-flavored

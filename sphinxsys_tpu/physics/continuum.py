@@ -284,3 +284,173 @@ def stress_diffusion(soil: State, nl: NeighborList, kernel, dim: int,
         pg.r**2 + 0.01 * smoothing_length)
     out["StressRate3D"] = jnp.sum(coeff[..., None, None] * ds, axis=1)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Updated-Lagrangian ELASTIC solid with generalized hourglass control
+# (continuum_integration.{h,cpp}: ShearStressRelaxationHourglassControl
+# 1st/2ndHalf, used by test_2d_oscillating_beam_UL / test_3d_taylor_bar_UL).
+# The pressure/density halves are the plain WCSPH acoustic halves
+# (continuum_dynamics::Integration1stHalf == fluid 1st half + AccShear in
+# the velocity update, continuum_integration.hpp:19-22) — compose them via
+# fluid.acoustic_step_1st_half(..., extra_force=ul_shear_force(state)).
+# ---------------------------------------------------------------------------
+
+
+def make_ul_solid_state(pos, volume, material, dtype=jnp.float32) -> State:
+    from sphinxsys_tpu.core.state import make_fluid_state
+
+    state = dict(make_fluid_state(pos, volume, material.rho0, dtype=dtype))
+    n, d = state["Position"].shape
+    state["ShearStress"] = jnp.zeros((n, d, d), dtype=dtype)
+    state["StrainTensor"] = jnp.zeros((n, d, d), dtype=dtype)
+    state["VelocityGradient"] = jnp.zeros((n, d, d), dtype=dtype)
+    state["AccHourglass"] = jnp.zeros((n, d), dtype=dtype)
+    state["AccShear"] = jnp.zeros((n, d), dtype=dtype)
+    state["LinearGradientCorrectionMatrix"] = jnp.broadcast_to(
+        jnp.eye(d, dtype=dtype), (n, d, d))
+    return state
+
+
+def correction_matrix_current(state: State, nl: NeighborList, kernel,
+                              dim: int, alpha: float = 0.0,
+                              eps: float = 1.0e-8) -> State:
+    """LinearGradientCorrectionMatrixInner on the CURRENT configuration
+    (kernel_correction.cpp) — the UL twin of solid.linear_gradient_
+    correction_matrix (which acts on frozen reference pairs); refreshed
+    every advection step (oscillating_beam_UL.cpp:207)."""
+    out = dict(state)
+    pos = state["Position"]
+    pg = pair_geometry(pos, pos, nl, kernel, dim, need_W=False)
+    vol_j, _ = gather(state["VolumetricMeasure"], nl.idx)
+    grad = (pg.dW * vol_j)[..., None] * pg.e
+    r_ji = pg.r[..., None] * pg.e
+    A = -jnp.einsum("nki,nkj->nij", r_ji, grad)
+    det = jnp.linalg.det(A)
+    eye = jnp.eye(dim, dtype=A.dtype)
+    At = jnp.swapaxes(A, -1, -2)
+    inv = jnp.linalg.inv(At @ A + eps * eye) @ At
+    det_sqr = jnp.maximum(alpha - det, 0.0)
+    w1 = det / (det + det_sqr + TINY)
+    w2 = det_sqr / (det + det_sqr + TINY)
+    out["LinearGradientCorrectionMatrix"] = (
+        w1[..., None, None] * inv + w2[..., None, None] * eye)
+    return out
+
+
+def shear_stress_hourglass_1st_half(state: State, nl: NeighborList, kernel,
+                                    dim: int, material, dt,
+                                    plasticity=None) -> State:
+    """ShearStressRelaxationHourglassControl1stHalf (continuum_integration
+    .cpp:81-104): B-corrected velocity gradient, Jaumann shear-stress rate
+    sigma_dot = 2G dev(eps_dot) + sigma Omega^T + Omega sigma, strain
+    accumulation.  `plasticity` (a J2Plasticity) adds the radial-return
+    scaling + hardening of the ...1stHalfJ2Plasticity variant
+    (cpp:159-199); scale_penalty then tracks the plastic indicator."""
+    out = dict(state)
+    pos, vel = state["Position"], state["Velocity"]
+    pg = pair_geometry(pos, pos, nl, kernel, dim, need_W=False)
+    vel_j, _ = gather(vel, nl.idx)
+    vol_j, _ = gather(state["VolumetricMeasure"], nl.idx)
+    B = state["LinearGradientCorrectionMatrix"]
+    # corrected kernel gradient B_i e_ij dW V_j, then g = -sum v_ij (x) grad
+    grad = jnp.einsum("nij,nkj->nki", B, (pg.dW * vol_j)[..., None] * pg.e)
+    g = -jnp.einsum("nki,nkj->nij", vel[:, None, :] - vel_j, grad)
+    out["VelocityGradient"] = g
+
+    gT = jnp.swapaxes(g, -1, -2)
+    strain_rate = 0.5 * (g + gT)
+    spin = 0.5 * (g - gT)
+    eye = jnp.eye(dim, dtype=g.dtype)
+    dev = strain_rate - (jnp.trace(strain_rate, axis1=-2, axis2=-1)
+                         / dim)[..., None, None] * eye
+    G = material.shear_modulus
+    sig = state["ShearStress"]
+    rate = (2.0 * G * dev + sig @ jnp.swapaxes(spin, -1, -2) + spin @ sig)
+    sig_try = sig + rate * dt
+    if plasticity is None:
+        out["ShearStress"] = sig_try
+    else:
+        sig_new, hardening, plastic_ind = plasticity.return_mapping_shear(
+            sig_try, state.get("HardeningFactor"), strain_rate, dt)
+        out["ShearStress"] = sig_new
+        out["HardeningFactor"] = hardening
+        out["ScalePenaltyForce"] = plastic_ind
+    out["StrainTensor"] = state["StrainTensor"] + strain_rate * dt
+    return out
+
+
+def _rodrigues(spin, dt):
+    """Rotation exp(spin*dt) via the reference's trace form
+    (continuum_integration.cpp:121-133); dim-generic (2D/3D)."""
+    dim = spin.shape[-1]
+    s2 = spin @ spin
+    tr = jnp.trace(s2, axis1=-2, axis2=-1)
+    omega = jnp.sqrt(jnp.maximum(-0.5 * tr, 0.0))
+    theta = omega * dt
+    eye = jnp.eye(dim, dtype=spin.dtype)
+    safe = jnp.maximum(omega, TINY)[..., None, None]
+    s_hat = spin / safe
+    R = (eye + jnp.sin(theta)[..., None, None] * s_hat
+         + (1.0 - jnp.cos(theta))[..., None, None] * (s_hat @ s_hat))
+    return jnp.where((theta > 1.0e-12)[..., None, None], R, eye)
+
+
+def shear_acceleration_hourglass_2nd_half(state: State, nl: NeighborList,
+                                          kernel, dim: int, material, dt,
+                                          xi: float = 2.0) -> State:
+    """ShearStressRelaxationHourglassControl2ndHalf (cpp:134-157): shear
+    acceleration + zero-energy-mode penalty.  The penalty accumulator
+    AccHourglass is ROTATED by exp(Omega dt) each step (Rodrigues) so the
+    stored correction co-rotates with the material."""
+    out = dict(state)
+    pos, vel = state["Position"], state["Velocity"]
+    rho = state["Density"]
+    sig = state["ShearStress"]
+    g = state["VelocityGradient"]
+
+    pg = pair_geometry(pos, pos, nl, kernel, dim, need_W=False)
+    vol_j, _ = gather(state["VolumetricMeasure"], nl.idx)
+    vel_j, _ = gather(vel, nl.idx)
+    sig_j, _ = gather(sig, nl.idx)
+    g_j, _ = gather(g, nl.idx)
+    scale = state.get("ScalePenaltyForce")
+    dWV = pg.dW * vol_j
+
+    acc = jnp.einsum("nkij,nkj->ni",
+                     (sig[:, None] + sig_j) / rho[:, None, None, None],
+                     dWV[..., None] * pg.e)
+
+    v_ij = vel[:, None, :] - vel_j
+    v_pred = jnp.einsum("nkij,nkj->nki", 0.5 * (g[:, None] + g_j),
+                        pg.r[..., None] * pg.e)
+    v_corr = v_ij - v_pred
+    if scale is None:
+        penalty = xi
+    else:
+        scale_j, _ = gather(scale, nl.idx)
+        penalty = 0.5 * (scale[:, None] + scale_j)
+    G = material.shear_modulus
+    coeff = penalty * G * jnp.sum(v_corr * pg.e, axis=-1) * dWV * dt / (
+        rho[:, None] * jnp.maximum(pg.r, TINY))
+    acc_hg_inc = jnp.sum(coeff[..., None] * pg.e, axis=1)
+
+    spin = 0.5 * (g - jnp.swapaxes(g, -1, -2))
+    R = _rodrigues(spin, dt)
+    acc_hg = jnp.einsum("nij,nj->ni", R, state["AccHourglass"]) + acc_hg_inc
+    out["AccHourglass"] = acc_hg
+    out["AccShear"] = acc + acc_hg
+    return out
+
+
+def ul_shear_force(state: State):
+    """AccShear folded into the acoustic velocity update as a force
+    (BaseIntegration1stHalf::update, continuum_integration.hpp:19-22)."""
+    return state["AccShear"] * state["Mass"][:, None]
+
+
+def volume_update(state: State) -> State:
+    """fluid_dynamics::ContinuumVolumeUpdate: Vol = m / rho."""
+    out = dict(state)
+    out["VolumetricMeasure"] = state["Mass"] / state["Density"]
+    return out

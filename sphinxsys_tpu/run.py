@@ -247,6 +247,11 @@ CASES = {
     "twisting_column_3d": _run_single_fluid(
         "twisting_column_3d",
         lambda c, s: {"Column": s.column}, t_end=0.5),
+    "self_contact_2d": _run_single_fluid(
+        "self_contact_2d", lambda c, s: {"BeamBody": s.beam}, t_end=1.0),
+    "oscillating_beam_ul_2d": _run_single_fluid(
+        "oscillating_beam_ul_2d", lambda c, s: {"BeamBody": s.beam},
+        t_end=1.0),
     "depolarization_2d": _run_single_fluid(
         "depolarization_2d",
         lambda c, s: {"MuscleBlock": dict(s.body)}, t_end=16.0),
