@@ -121,6 +121,67 @@ class PlasticContinuum(GeneralContinuum):
         return jnp.where(yielding[..., None, None], scaled, s)
 
 
+@dataclasses.dataclass(frozen=True)
+class J2Plasticity(GeneralContinuum):
+    """Von Mises (J2) plasticity with linear isotropic hardening on the
+    deviatoric shear stress (general_continuum.h:126, .cpp:103-154); used
+    by the updated-Lagrangian hourglass-controlled integrator
+    (ShearStressRelaxationHourglassControl1stHalfJ2Plasticity,
+    continuum_integration.cpp:159-179)."""
+
+    yield_stress: float = 1.0
+    hardening_modulus: float = 0.0
+
+    _SQRT23 = math.sqrt(2.0 / 3.0)
+
+    def _yield_f(self, shear_stress, hardening_factor):
+        J2 = 0.5 * jnp.sum(shear_stress * jnp.swapaxes(shear_stress, -1, -2),
+                           axis=(-2, -1))
+        k = self.hardening_modulus * hardening_factor + self.yield_stress
+        return jnp.sqrt(2.0 * J2) - self._SQRT23 * k, J2, k
+
+    def shear_rate_with_hardening(self, velocity_gradient, shear_stress,
+                                  hardening_factor):
+        """ConstitutiveRelationShearStressWithHardening (cpp:113-130):
+        Jaumann elastic deviatoric rate minus the plastic corrector."""
+        G = self.shear_modulus
+        L = velocity_gradient
+        dim = L.shape[-1]
+        eye = jnp.eye(dim, dtype=L.dtype)
+        strain_rate = 0.5 * (L + jnp.swapaxes(L, -1, -2))
+        spin = 0.5 * (L - jnp.swapaxes(L, -1, -2))
+        dev_e = strain_rate - (jnp.trace(strain_rate, axis1=-2, axis2=-1)
+                               / dim)[..., None, None] * eye
+        elastic = (2.0 * G * dev_e
+                   + shear_stress @ jnp.swapaxes(spin, -1, -2)
+                   + spin @ shear_stress)
+        f, J2, _ = self._yield_f(shear_stress, hardening_factor)
+        s_dot_e = jnp.sum(shear_stress * strain_rate, axis=(-2, -1))
+        lam = s_dot_e / (jnp.sqrt(2.0 * J2 + TINY)
+                         * (1.0 + self.hardening_modulus / (3.0 * G)))
+        g = (lam / jnp.sqrt(J2 + TINY))[..., None, None] * (
+            math.sqrt(2.0) * G * shear_stress)
+        return elastic - jnp.where((f > TINY)[..., None, None], g, 0.0)
+
+    def hardening_factor_rate(self, shear_stress, hardening_factor):
+        """HardeningFactorRate (cpp:149-154)."""
+        f, _, _ = self._yield_f(shear_stress, hardening_factor)
+        G = self.shear_modulus
+        rate = 0.5 * f / (G + self.hardening_modulus / 3.0)
+        return jnp.where(f > TINY, rate, 0.0)
+
+    def scale_penalty_force(self, shear_stress, hardening_factor):
+        """ScalePenaltyForce (cpp:142-147): radial-return ratio r<=1."""
+        f, J2, k = self._yield_f(shear_stress, hardening_factor)
+        r = self._SQRT23 * k / (jnp.sqrt(2.0 * J2) + TINY)
+        return jnp.where(f > TINY, r, 1.0)
+
+    def return_mapping_shear_stress(self, shear_stress, hardening_factor):
+        """ReturnMappingShearStress (cpp:132-140)."""
+        return self.scale_penalty_force(
+            shear_stress, hardening_factor)[..., None, None] * shear_stress
+
+
 def _degrade(s3, dim):
     return s3[..., :dim, :dim]
 
@@ -340,13 +401,14 @@ def correction_matrix_current(state: State, nl: NeighborList, kernel,
 
 def shear_stress_hourglass_1st_half(state: State, nl: NeighborList, kernel,
                                     dim: int, material, dt,
-                                    plasticity=None) -> State:
+                                    plasticity=None, xi: float = 2.0) -> State:
     """ShearStressRelaxationHourglassControl1stHalf (continuum_integration
     .cpp:81-104): B-corrected velocity gradient, Jaumann shear-stress rate
     sigma_dot = 2G dev(eps_dot) + sigma Omega^T + Omega sigma, strain
-    accumulation.  `plasticity` (a J2Plasticity) adds the radial-return
-    scaling + hardening of the ...1stHalfJ2Plasticity variant
-    (cpp:159-199); scale_penalty then tracks the plastic indicator."""
+    accumulation.  `plasticity` (a J2Plasticity) switches to the
+    ...1stHalfJ2Plasticity variant (cpp:159-179): rate with plastic
+    corrector, hardening increment, xi-scaled penalty indicator, radial
+    return."""
     out = dict(state)
     pos, vel = state["Position"], state["Velocity"]
     pg = pair_geometry(pos, pos, nl, kernel, dim, need_W=False)
@@ -366,16 +428,20 @@ def shear_stress_hourglass_1st_half(state: State, nl: NeighborList, kernel,
                          / dim)[..., None, None] * eye
     G = material.shear_modulus
     sig = state["ShearStress"]
-    rate = (2.0 * G * dev + sig @ jnp.swapaxes(spin, -1, -2) + spin @ sig)
-    sig_try = sig + rate * dt
     if plasticity is None:
-        out["ShearStress"] = sig_try
+        rate = (2.0 * G * dev + sig @ jnp.swapaxes(spin, -1, -2) + spin @ sig)
+        out["ShearStress"] = sig + rate * dt
     else:
-        sig_new, hardening, plastic_ind = plasticity.return_mapping_shear(
-            sig_try, state.get("HardeningFactor"), strain_rate, dt)
-        out["ShearStress"] = sig_new
-        out["HardeningFactor"] = hardening
-        out["ScalePenaltyForce"] = plastic_ind
+        k = state["HardeningFactor"]
+        rate = plasticity.shear_rate_with_hardening(g, sig, k)
+        sig_try = sig + rate * dt
+        k_new = k + J2Plasticity._SQRT23 * plasticity.hardening_factor_rate(
+            sig_try, k)
+        out["HardeningFactor"] = k_new
+        out["ScalePenaltyForce"] = xi * plasticity.scale_penalty_force(
+            sig_try, k_new)
+        out["ShearStress"] = plasticity.return_mapping_shear_stress(
+            sig_try, k_new)
     out["StrainTensor"] = state["StrainTensor"] + strain_rate * dt
     return out
 

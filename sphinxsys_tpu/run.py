@@ -265,6 +265,9 @@ CASES = {
         "t_pipe_2d",
         lambda c, s: {"WaterBody": s.fluid, "WallBoundary": c.wall},
         t_end=100.0),
+    "taylor_bar_ul_3d": _run_single_fluid(
+        "taylor_bar_ul_3d",
+        lambda c, s: {"Column": s.column, "Wall": c.wall}, t_end=1.0e-4),
 }
 
 
