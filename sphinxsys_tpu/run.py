@@ -268,6 +268,12 @@ CASES = {
     "taylor_bar_ul_3d": _run_single_fluid(
         "taylor_bar_ul_3d",
         lambda c, s: {"Column": s.column, "Wall": c.wall}, t_end=1.0e-4),
+    "passive_cantilever_neohookean_3d": _run_single_fluid(
+        "passive_cantilever_neohookean_3d",
+        lambda c, s: {"CantileverBody": s.body}, t_end=1.0),
+    "muscle_activation_3d": _run_single_fluid(
+        "muscle_activation_3d",
+        lambda c, s: {"MyocardiumMuscleBody": s.body}, t_end=1.2),
 }
 
 
