@@ -75,17 +75,32 @@ def diffusion_time_step(h: float, diffusion, dim: int) -> float:
 # ---------------------------------------------------------------------------
 
 def diffusion_rate(pos_q, species_q, vol_s, pos_s, species_s, nl: NeighborList,
-                   kernel, dim: int, diffusion, box=None, B_q=None, B_s=None):
+                   kernel, dim: int, diffusion, box=None, B_q=None, B_s=None,
+                   local_diff_q=None, local_diff_s=None):
     """dC/dt contribution through one relation.  `B_q`/`B_s`: linear
     gradient correction matrices of the two sides — when given, the pair
     surface area uses the corrected kernel gradient
     0.5 (B_i + B_j) e (CorrectedKernelGradientInner,
     diffusion_dynamics.h:92-103), restoring consistency at truncated
-    supports (domain corners/edges)."""
+    supports (domain corners/edges).
+
+    `local_diff_q`/`local_diff_s`: per-particle diffusivity arrays
+    (LocalIsotropicDiffusion, materials/diffusion_reaction.h:136-158) —
+    the pair coefficient becomes the arithmetic mean
+    0.5 (k_i + k_j), overriding `diffusion`'s constant coefficient."""
     pg = pair_geometry(pos_q, pos_s, nl, kernel, dim, need_W=False, box=box)
     vol_j, _ = gather(vol_s, nl.idx)
     c_j, _ = gather(species_s, nl.idx)
-    d_ij = diffusion.inter_particle_coeff(pg.e)
+    if local_diff_q is not None:
+        if local_diff_s is None:
+            # contact body without its own diffusivity field: the pair
+            # coefficient degenerates to the interior particle's k_i
+            d_ij = local_diff_q[:, None]
+        else:
+            k_j, _ = gather(local_diff_s, nl.idx)
+            d_ij = 0.5 * (local_diff_q[:, None] + k_j)
+    else:
+        d_ij = diffusion.inter_particle_coeff(pg.e)
     area = 2.0 * pg.dW * vol_j / (pg.r + TINY)
     if B_q is not None:
         B_j, _ = gather(B_s if B_s is not None else B_q, nl.idx)
@@ -145,19 +160,23 @@ def diffusion_step(state: State, species: str, nl_inner: NeighborList, kernel,
                    dim: int, diffusion, dt, dirichlet_contacts: Sequence[tuple] = (),
                    neumann_contacts: Sequence[tuple] = (),
                    robin_contacts: Sequence[tuple] = (), box=None,
-                   correction: bool = False) -> State:
+                   correction: bool = False, local_diff: str = None) -> State:
     """One explicit Euler diffusion step.
       dirichlet_contacts: (contact_state, nl_contact) with fixed `species`
           values (Dirichlet<...>, diffusion_dynamics.h:173-207)
       neumann_contacts: (contact_state, nl_contact) carrying
           "<species>Flux" + NormalDirection (diffusion_dynamics.h:189-209)
       robin_contacts: (contact_state, nl_contact, c_infinity) carrying
-          "<species>Convection" (diffusion_dynamics.h:212-231)."""
+          "<species>Convection" (diffusion_dynamics.h:212-231)
+      local_diff: state key of a per-particle diffusivity field
+          (LocalIsotropicDiffusion), e.g. "ThermalConductivity"."""
     pos = state["Position"]
     c = state[species]
     B = state["LinearGradientCorrectionMatrix"] if correction else None
+    kq = state[local_diff] if local_diff is not None else None
     rate = diffusion_rate(pos, c, state["VolumetricMeasure"], pos, c, nl_inner,
-                          kernel, dim, diffusion, box, B_q=B)
+                          kernel, dim, diffusion, box, B_q=B,
+                          local_diff_q=kq, local_diff_s=kq)
     for c_state, nl_c in dirichlet_contacts:
         # Dirichlet boundaries double the concentration jump (ghost value
         # reflected across the interface): phi_ij = 2 (C_i - C_j)
@@ -166,7 +185,10 @@ def diffusion_step(state: State, species: str, nl_inner: NeighborList, kernel,
                                            c_state["VolumetricMeasure"],
                                            c_state["Position"],
                                            c_state[species], nl_c, kernel,
-                                           dim, diffusion, box)
+                                           dim, diffusion, box,
+                                           local_diff_q=kq,
+                                           local_diff_s=(c_state.get(local_diff)
+                                                         if local_diff else None))
     for c_state, nl_c in neumann_contacts:
         rate = rate + neumann_rate(state, species, c_state, nl_c, kernel,
                                    dim, box)
@@ -175,6 +197,27 @@ def diffusion_step(state: State, species: str, nl_inner: NeighborList, kernel,
                                  c_inf, box)
     out = dict(state)
     out[species] = c + rate * dt
+    return out
+
+
+def diffusion_step_local_rk2(state: State, species: str,
+                             nl_inner: NeighborList, kernel, dim: int,
+                             diffusion, dt, local_diff: str,
+                             robin_contacts: Sequence[tuple] = (),
+                             box=None) -> State:
+    """RK2 diffusion relaxation with a per-particle diffusivity field +
+    Robin convective boundaries (DiffusionBodyRelaxationComplex<
+    BaseDiffusion, ..., Robin> over LocalIsotropicDiffusion, the
+    windows_frame_diffusion composition)."""
+    c0 = state[species]
+    s1 = diffusion_step(state, species, nl_inner, kernel, dim, diffusion, dt,
+                        robin_contacts=robin_contacts, box=box,
+                        local_diff=local_diff)
+    s2 = diffusion_step(s1, species, nl_inner, kernel, dim, diffusion, dt,
+                        robin_contacts=robin_contacts, box=box,
+                        local_diff=local_diff)
+    out = dict(s2)
+    out[species] = 0.5 * (c0 + s2[species])
     return out
 
 

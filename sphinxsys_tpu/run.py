@@ -274,6 +274,11 @@ CASES = {
     "muscle_activation_3d": _run_single_fluid(
         "muscle_activation_3d",
         lambda c, s: {"MyocardiumMuscleBody": s.body}, t_end=1.2),
+    "windows_frame_diffusion_2d": _run_single_fluid(
+        "windows_frame_diffusion_2d",
+        lambda c, s: {"DiffusionBody": s.body,
+                      "InternalConvectionBoundary": c.air_in,
+                      "ExternalConvectionBoundary": c.air_ex}, t_end=0.02),
 }
 
 
