@@ -1,0 +1,45 @@
+"""Spinning plate (test_2d_spinning_plate): UL hourglass-controlled solid
+under rigid rotation — tensile-instability and angular-momentum test."""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_spinning_plate_ke_vs_reference_db():
+    """Simulate the full reference trajectory (t = 0..0.5, KE recorded
+    every 0.01) and compare to the committed reference database.  The six
+    reference runs are bit-identical (stored DTW threshold 1.3e-6), so an
+    absolute DTW gate is meaningless cross-implementation; the honest gate
+    is pointwise: our KE starts at exactly the reference's lattice value
+    228593.75 and must track the reference decay within 2% everywhere
+    (measured: 1.1% high at the endpoint, 222878 vs 220414).  A plate torn
+    by the tensile instability fails by an order of magnitude."""
+    from sphinxsys_tpu.cases import spinning_plate_2d as sp
+    from sphinxsys_tpu.io import regression as rg
+
+    case, plate = sp.build_case()
+    s = sp.init_sim(case, plate)
+    run = sp.make_run_chunk(case)
+    ke = [sp.kinetic_energy(s)]
+    for i in range(1, 51):
+        s = run(s, jnp.asarray(i * 0.01, s.time.dtype))
+        ke.append(sp.kinetic_energy(s))
+    assert not bool(s.overflow)
+    ours = np.asarray(ke)
+
+    test = rg.DTWRegressionTest(
+        "/root/reference/tests/2d_examples/test_2d_spinning_plate/"
+        "regression_test_tool", "SquareBody", "TotalKineticEnergy")
+    assert test.run_files
+    import xml.etree.ElementTree as ET
+
+    rows = [el.attrib for el in ET.parse(test.run_files[0]).getroot().iter()
+            if el.attrib]
+    ks = sorted(rows[1], key=lambda k: int(k.split("_")[1]))
+    ref = np.array([float(rows[1][k]) for k in ks])
+    assert len(ref) == len(ours)
+    rel = np.abs(ours - ref) / ref[0]
+    assert ours[0] == ref[0]          # identical lattice quadrature
+    assert rel.max() < 0.02, rel.max()
+    # spinning freely: KE decays monotonically apart from acoustic ripple
+    assert ours[-1] < ours[0]
