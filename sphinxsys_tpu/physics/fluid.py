@@ -395,7 +395,8 @@ def viscous_force(fluid: State, nl_inner: NeighborList, kernel, dim: int,
                   mu: float, smoothing_length: float,
                   wall: State | None = None, nl_wall: NeighborList | None = None,
                   box=None, walls: Sequence[tuple] = (),
-                  contacts: Sequence[tuple] = ()) -> State:
+                  contacts: Sequence[tuple] = (),
+                  shell_walls: Sequence[tuple] = ()) -> State:
     """F_i += 2 mu V_i sum_j (v_i - v_j) / (r_ij + 0.01 h) dW_ij V_j
     (legacy ViscousForce<Inner<>>, viscous_dynamics.hpp; wall variant
     doubles the jump against the averaged wall velocity).  Accumulated
@@ -435,6 +436,18 @@ def viscous_force(fluid: State, nl_inner: NeighborList, kernel, dim: int,
         force = force + 2.0 * mu_pair * jnp.sum(
             vderiv_c * (pgc.dW * c_vol)[..., None], axis=1)
 
+    # shell bodies seen as wall contacts through curvature-corrected pairs
+    # (ViscousForce<Contact<Wall>> over a ContactRelationFromShellToFluid);
+    # entries are (shell_state, nl, ShellContactPairs)
+    for sstate, snl, spairs in shell_walls:
+        area_k, _ = gather(sstate["VolumetricMeasure"], snl.idx)
+        vel_ave_k, _ = gather(sstate["AverageVelocity"], snl.idx)
+        vderiv_s = 2.0 * (vel[:, None, :] - vel_ave_k) / (
+            spairs.r + eps_r)[..., None]
+        force = force + 2.0 * mu * jnp.sum(
+            vderiv_s * (spairs.dWV * area_k
+                        * spairs.mask.astype(force.dtype))[..., None], axis=1)
+
     out = dict(fluid)
     out["ViscousForce"] = force * vol[:, None]
     out["ForcePrior"] = fluid["ForcePrior"] + out["ViscousForce"] - fluid.get(
@@ -453,6 +466,7 @@ def transport_velocity_correction(fluid: State, nl_inner: NeighborList, kernel,
                                   wall: State | None = None,
                                   nl_wall: NeighborList | None = None,
                                   box=None, walls: Sequence[tuple] = (),
+                                  shell_walls: Sequence[tuple] = (),
                                   scope_mask=None) -> State:
     """Shift positions down the kernel-gradient-integral "inconsistency" to
     keep particle distributions uniform (transport_velocity_correction.hpp:
@@ -474,6 +488,12 @@ def transport_velocity_correction(fluid: State, nl_inner: NeighborList, kernel,
         wall_vol, _ = gather(wstate["VolumetricMeasure"], wnl.idx)
         inconsistency = inconsistency - jnp.sum(
             (2.0 * pgw.dW * wall_vol)[..., None] * pgw.e, axis=1)
+    # shell-wall contacts through curvature-corrected pairs
+    for sstate, snl, spairs in shell_walls:
+        area_k, _ = gather(sstate["VolumetricMeasure"], snl.idx)
+        inconsistency = inconsistency - jnp.sum(
+            (2.0 * spairs.dWV * area_k
+             * spairs.mask.astype(pos.dtype))[..., None] * spairs.e, axis=1)
     h2 = h_ref * h_ref
     sq = jnp.sum(inconsistency**2, axis=-1)
     lim = jnp.minimum(limiter_slope * h2 * sq, 1.0) if limiter_slope is not None else 1.0
@@ -493,7 +513,8 @@ def transport_velocity_correction(fluid: State, nl_inner: NeighborList, kernel,
 def free_surface_indication(fluid: State, nl_inner: NeighborList, kernel,
                             dim: int, contacts: Sequence[tuple] = (),
                             spatial_temporal: bool = False,
-                            box=None) -> State:
+                            box=None,
+                            shell_walls: Sequence[tuple] = ()) -> State:
     """FreeSurfaceIndication(SpatialTemporal): Indicator = 1 where the
     position divergence  -sum dW V r  falls below 0.75*dim, smeared one
     layer inward (a bulk particle within h of a surface one is also
@@ -511,6 +532,11 @@ def free_surface_indication(fluid: State, nl_inner: NeighborList, kernel,
                             need_W=False, box=box)
         vol_k, _ = gather(c_state["VolumetricMeasure"], nl_c.idx)
         pos_div = pos_div - jnp.sum(pgc.dW * vol_k * pgc.r, axis=1)
+    for sstate, snl, spairs in shell_walls:
+        area_k, _ = gather(sstate["VolumetricMeasure"], snl.idx)
+        pos_div = pos_div - jnp.sum(spairs.dWV * area_k
+                                    * spairs.mask.astype(pos_div.dtype)
+                                    * spairs.r, axis=1)
 
     out = dict(fluid)
     if spatial_temporal and "PreviousSurfaceIndicator" in fluid:
@@ -535,13 +561,15 @@ def free_surface_indication(fluid: State, nl_inner: NeighborList, kernel,
 def density_summation_freestream(fluid: State, nl_inner: NeighborList, kernel,
                                  dim: int, rho0: float, sigma0: float,
                                  contacts: Sequence[tuple] = (),
-                                 box=None) -> State:
+                                 box=None,
+                                 shell_contacts: Sequence[tuple] = ()) -> State:
     """DensitySummationFreeStreamComplex: plain summation for bulk
     particles; particles with a surface-indicated neighbor get the
     NearFreeStream blend  rho_sum + (rho - rho_sum) rho0 / rho  when
     rho_sum < rho (density_summation.h:141-147)."""
     out = density_summation(fluid, nl_inner, kernel, dim, rho0, sigma0,
-                            contacts=contacts, free_surface=False, box=box)
+                            contacts=contacts, free_surface=False, box=box,
+                            shell_contacts=shell_contacts)
     rho_sum = out["DensitySummation"]
     rho_old = fluid["Density"]
     ind_j, mj = gather(fluid["Indicator"], nl_inner.idx)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from sphinxsys_tpu.core.state import State
@@ -106,26 +107,31 @@ def shell_contact_pairs(pos_q, shell: State, k1, k2, nl: NeighborList,
     pos_j, _ = gather(shell["Position"], nl.idx)
 
     fmask = pg.mask.astype(pg.r.dtype)
-    W_ttl = pg.W
-    dW_ttl = pg.dW
-    dW_e_ttl = pg.dW[..., None] * pg.e
     d = shell_spacing
     cutoff = kernel.cutoff
     n_dum = n_dummy_static(kernel, shell_spacing)
-    for k in range(1, n_dum + 1):
-        pos_dum = pos_j + n_j * (k * d)
+
+    def add_dummy(k, carry):
+        # k traced -> ONE trace of the stack body regardless of n_dum
+        # (a Python unroll at n_dum ~ 12 made the pipe case's XLA graph
+        # minutes-slow to compile)
+        W_t, dW_t, dWe_t = carry
+        kf = k.astype(pg.r.dtype)
+        pos_dum = pos_j + n_j * (kf * d)
         disp = pos_q[:, None, :] - pos_dum
-        r2 = jnp.sum(disp * disp, axis=-1)
-        r_dum = jnp.sqrt(r2 + TINY)
-        f1 = 1.0 + k * k1_j * d
-        f2 = 1.0 + k * k2_j * d
+        r_dum = jnp.sqrt(jnp.sum(disp * disp, axis=-1) + TINY)
+        f1 = 1.0 + kf * k1_j * d
+        f2 = 1.0 + kf * k2_j * d
         ok = (r_dum < cutoff) & (f1 > 0.0) & (f2 > 0.0)
         vol_f = jnp.where(ok, f1 * f2, 0.0) * fmask
         Wd = kernel.W(r_dum, dim) * vol_f
         dWd = kernel.dW(r_dum, dim) * vol_f
-        W_ttl = W_ttl + Wd
-        dW_ttl = dW_ttl + dWd
-        dW_e_ttl = dW_e_ttl + dWd[..., None] * (disp / r_dum[..., None])
+        return (W_t + Wd, dW_t + dWd,
+                dWe_t + dWd[..., None] * (disp / r_dum[..., None]))
+
+    W_ttl, dW_ttl, dW_e_ttl = jax.lax.fori_loop(
+        1, n_dum + 1, add_dummy,
+        (pg.W, pg.dW, pg.dW[..., None] * pg.e))
     e_corr = dW_e_ttl / (dW_ttl[..., None] - TINY)   # dW < 0: no cancel
     W_corr = W_ttl * d / jnp.maximum(thick_j, TINY)
     dWV_corr = dW_ttl * d
@@ -150,23 +156,26 @@ def fluid_to_shell_pairs(shell: State, k1, k2, fluid_pos, nl: NeighborList,
     pos_j, _ = gather(fluid_pos, nl.idx)
 
     fmask = pg.mask.astype(pg.r.dtype)
-    dW_ttl = pg.dW
-    dW_e_ttl = pg.dW[..., None] * pg.e
     d = shell_spacing
     cutoff = kernel.cutoff
     n_dum = n_dummy_static(kernel, shell_spacing)
-    for k in range(1, n_dum + 1):
-        pos_dum = pos_i[:, None, :] + n_i[:, None, :] * (k * d)
+
+    def add_dummy(k, carry):
+        dW_t, dWe_t = carry
+        kf = k.astype(pg.r.dtype)
+        pos_dum = pos_i[:, None, :] + n_i[:, None, :] * (kf * d)
         disp = pos_dum - pos_j
-        r2 = jnp.sum(disp * disp, axis=-1)
-        r_dum = jnp.sqrt(r2 + TINY)
-        f1 = 1.0 + k * k1_i * d
-        f2 = 1.0 + k * k2_i * d
+        r_dum = jnp.sqrt(jnp.sum(disp * disp, axis=-1) + TINY)
+        f1 = 1.0 + kf * k1_i * d
+        f2 = 1.0 + kf * k2_i * d
         ok = (r_dum < cutoff) & (f1 > 0.0) & (f2 > 0.0)
         vol_f = jnp.where(ok, f1 * f2, 0.0) * fmask
         dWd = kernel.dW(r_dum, dim) * vol_f
-        dW_ttl = dW_ttl + dWd
-        dW_e_ttl = dW_e_ttl + dWd[..., None] * (disp / r_dum[..., None])
+        return (dW_t + dWd,
+                dWe_t + dWd[..., None] * (disp / r_dum[..., None]))
+
+    dW_ttl, dW_e_ttl = jax.lax.fori_loop(
+        1, n_dum + 1, add_dummy, (pg.dW, pg.dW[..., None] * pg.e))
     e_corr = dW_e_ttl / (dW_ttl[..., None] - TINY)
     dWV_corr = dW_ttl * d
     return ShellContactPairs(r=pg.r, e=e_corr, W=pg.W, dWV=dWV_corr,

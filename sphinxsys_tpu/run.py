@@ -139,6 +139,12 @@ CASES = {
         "hydrostatic_fsi_2d",
         lambda c, s: {"WaterBody": s.fluid, "Gate": s.gate, "Wall": c.wall},
         t_end=0.2),
+    "poiseuille_flow_shell_3d": _run_single_fluid(
+        "poiseuille_flow_shell_3d",
+        lambda c, s: {"WaterBody": s.fluid, "Shell": c.shell}, t_end=2.0),
+    "spinning_plate_2d": _run_single_fluid(
+        "spinning_plate_2d", lambda c, s: {"SquareBody": s.plate},
+        t_end=0.5),
     "dambreak_3d_block": _run_single_fluid(
         "dambreak_3d_block",
         lambda c, s: {"WaterBody": __import__(
