@@ -82,6 +82,131 @@ class BlockMap(NamedTuple):
         return self.slot_particle.shape[0] // self.occ_cells.shape[0]
 
 
+def _flat_strides(grid: CellGrid):
+    shape = grid.shape
+    strides = [1] * len(shape)
+    for d in range(len(shape) - 2, -1, -1):
+        strides[d] = strides[d + 1] * shape[d + 1]
+    return strides
+
+
+def _shift_flat(col, off: int, fill):
+    """out[i] = col[i + off], `fill` beyond the ends."""
+    if off == 0:
+        return col
+    if off > 0:
+        return jnp.concatenate([col[off:], jnp.full((off,), fill, col.dtype)])
+    return jnp.concatenate([jnp.full((-off,), fill, col.dtype), col[:off]])
+
+
+# window tables: TPU 1D gathers fetch a ~4 KB tile PER ELEMENT, so the
+# 3^dim per-window dense-map lookups of the naive construction cost
+# ~1.3 ms each at c_max = 64k (measured: 23 ms/step of the 2D dambreak
+# advection step at 320k particles).  Building shifted copies of the dense
+# map once (cheap contiguous slices) turns them into ONE row-granularity
+# gather (~1.3 ms total).  Cross-boundary shifts give wrong neighbors on
+# non-periodic axes — masked by the same in-bounds test the naive path
+# used.  Axis-0 wrap is a flat roll; wrap on any later axis cannot be
+# expressed as a flat shift -> return None (callers fall back).
+
+_TABLE_BYTES_BUDGET = 192 * 1024 * 1024
+
+
+def _window_table_full(dense_map, grid: CellGrid, c_max_src: int):
+    """(ncells+1,) -> (ncells+1, 3^dim) per-window row table, or None."""
+    dim = grid.dim
+    ncells = grid.ncells
+    periodic = grid.periodic or (False,) * dim
+    if any(periodic[1:]):
+        return None
+    nw = 3 ** dim
+    if (ncells + 1) * nw * 4 > _TABLE_BYTES_BUDGET:
+        return None
+    strides = _flat_strides(grid)
+    core = dense_map[:ncells]
+    fill = jnp.int32(c_max_src)
+    cols = []
+    for off in _window_offsets(dim):
+        o = sum(off[d] * strides[d] for d in range(dim))
+        if periodic[0] and off[0] != 0:
+            cols.append(jnp.roll(core, -o))
+        else:
+            cols.append(_shift_flat(core, o, fill))
+    table = jnp.stack(cols, axis=-1)
+    sent = jnp.full((1, nw), c_max_src, jnp.int32)
+    return jnp.concatenate([table, sent], axis=0)
+
+
+def _window_table_tri(dense_map, grid: CellGrid, c_max_src: int):
+    """(ncells+1,) -> (ncells+1, 3) last-axis-offset table (big 3D grids
+    where the full table exceeds the budget), or None."""
+    periodic = grid.periodic or (False,) * grid.dim
+    if periodic[-1]:
+        return None
+    core = dense_map[:grid.ncells]
+    fill = jnp.int32(c_max_src)
+    table = jnp.stack([_shift_flat(core, o, fill) for o in (-1, 0, 1)],
+                      axis=-1)
+    sent = jnp.full((1, 3), c_max_src, jnp.int32)
+    return jnp.concatenate([table, sent], axis=0)
+
+
+def neighbor_window_rows(occ_cells, grid: CellGrid, dense_map,
+                         c_max_src: int):
+    """(C,) occupied cell ids + (ncells+1,) dense cell->row map ->
+    (C, 3^dim) window-neighbor block rows (sentinel c_max_src), using
+    shifted window tables + row gathers where the grid allows, else
+    per-window dense lookups."""
+    dim = grid.dim
+    ncells = grid.ncells
+    gshape = jnp.asarray(grid.shape, dtype=jnp.int32)
+    periodic = grid.periodic or (False,) * dim
+    pmask = jnp.asarray(periodic)
+    coords = _unflatten(occ_cells, grid)
+    safe_occ = jnp.minimum(occ_cells, ncells)
+
+    def _inb(nc):
+        ncw = jnp.where(pmask, jnp.mod(nc, gshape), nc) if any(periodic) \
+            else nc
+        return ncw, jnp.all((ncw >= 0) & (ncw < gshape), axis=-1)
+
+    table = _window_table_full(dense_map, grid, c_max_src)
+    if table is not None:
+        rows = table[safe_occ]                       # ONE row gather
+        outs = []
+        for w, off in enumerate(_window_offsets(dim)):
+            _, inb = _inb(coords + jnp.asarray(off, dtype=jnp.int32))
+            outs.append(jnp.where(inb, rows[:, w], c_max_src))
+        return jnp.stack(outs, axis=1)
+
+    tri = _window_table_tri(dense_map, grid, c_max_src)
+    if tri is not None:
+        lead_offs = list(itertools.product(*([(-1, 0, 1)] * (dim - 1))))
+        outs = [None] * 3 ** dim
+        win = _window_offsets(dim)
+        for lead in lead_offs:
+            nc_l, inb_l = _inb(coords + jnp.asarray(lead + (0,), jnp.int32))
+            target = jnp.where(inb_l, grid.flatten_coords(
+                jnp.clip(nc_l, 0, gshape - 1)), ncells)
+            rows3 = tri[target]                      # (C, 3) row gather
+            for k, oz in enumerate((-1, 0, 1)):
+                w = win.index(lead + (oz,))
+                zc = coords[:, dim - 1] + oz
+                inb_z = (zc >= 0) & (zc < grid.shape[dim - 1]) \
+                    if not periodic[-1] else jnp.ones_like(zc, bool)
+                outs[w] = jnp.where(inb_l & inb_z, rows3[:, k], c_max_src)
+        return jnp.stack(outs, axis=1)
+
+    # fallback: per-window dense lookups (periodic beyond axis 0)
+    nbrs = []
+    for off in _window_offsets(dim):
+        nc, inb = _inb(coords + jnp.asarray(off, dtype=jnp.int32))
+        target = jnp.where(inb, grid.flatten_coords(
+            jnp.clip(nc, 0, gshape - 1)), ncells)
+        nbrs.append(dense_map[target])
+    return jnp.stack(nbrs, axis=1)
+
+
 def build_block_map(pos, valid, grid: CellGrid, cap: int, c_max: int,
                     n_max: int | None = None,
                     with_inverse: bool = True) -> BlockMap:
@@ -102,28 +227,41 @@ def build_block_map(pos, valid, grid: CellGrid, cap: int, c_max: int,
     m = n if n_max is None else min(n_max, n)
     if getattr(valid, "ndim", 0) == 0:
         valid = jnp.arange(n) < valid
-    cid = jnp.where(valid, grid.cell_id(pos), ncells)
+    cid = jnp.where(valid, grid.cell_id(pos), ncells).astype(jnp.int32)
 
-    order = jnp.argsort(cid)  # stable: all valid rows land in [0, m)
-    order_n = order[:m].astype(jnp.int32)
-    scid = cid[order_n].astype(jnp.int32)
+    # multi-operand sort carries the permutation along — avoids a separate
+    # cid[order] 1D gather (TPU 1D gathers fetch a 4KB tile per element)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    scid_full, order = jax.lax.sort((cid, iota), num_keys=1, is_stable=True)
+    order_n = order[:m]
+    scid = scid_full[:m]
     prev = jnp.concatenate([jnp.full((1,), -1, scid.dtype), scid[:-1]])
     is_first = (scid != prev) & (scid < ncells)
     csum = jnp.cumsum(is_first.astype(jnp.int32))
     occ_rank = csum - 1                       # (M,) block row per sorted particle
     n_occ = csum[-1]
 
-    # Everything below is GATHER-based: the monotone scatters of the naive
-    # construction lower to serial dynamic-update-slice loops on TPU
-    # (measured ~80 ms at 320k slots); binary searches over the sorted
-    # arrays produce the same tables at memory speed.
+    # Everything below is GATHER/SORT-based: the monotone scatters of the
+    # naive construction lower to serial dynamic-update-slice loops on TPU
+    # (measured ~80 ms at 320k slots).
     r_idx = jnp.arange(c_max, dtype=jnp.int32)
-    # p_r = sorted position where occupied cell r's run begins:
-    # the first position with cumsum(is_first) == r + 1
-    p_r = jnp.searchsorted(csum, r_idx + 1, side="left").astype(jnp.int32)
+    # p_r = sorted position where occupied cell r's run begins = position
+    # of the r-th is_first entry.  A stable 0/1-key sort compacts those
+    # positions (and their cell ids) to the front — one extra sort, vs the
+    # searchsorted binary search whose ~20 serial lookup rounds cost 8 ms
+    # at c_max = 64k on TPU.
+    pos_m = jnp.arange(m, dtype=jnp.int32)
+    _, p_sorted, cell_sorted = jax.lax.sort(
+        (jnp.where(is_first, jnp.int32(0), jnp.int32(1)), pos_m, scid),
+        num_keys=1, is_stable=True)
+    if c_max > m:
+        pad = jnp.full((c_max - m,), m, jnp.int32)
+        p_sorted = jnp.concatenate([p_sorted, pad])
+        cell_sorted = jnp.concatenate(
+            [cell_sorted, jnp.full((c_max - m,), ncells, jnp.int32)])
     found = r_idx < n_occ
-    start = jnp.where(found, p_r, m).astype(jnp.int32)
-    occ_cells = jnp.where(found, scid[jnp.minimum(p_r, m - 1)], ncells)
+    start = jnp.where(found, p_sorted[:c_max], m).astype(jnp.int32)
+    occ_cells = jnp.where(found, cell_sorted[:c_max], ncells)
 
     rank = jnp.arange(m, dtype=jnp.int32) - start[
         jnp.clip(occ_rank, 0, c_max - 1)]
@@ -162,26 +300,13 @@ def build_block_map(pos, valid, grid: CellGrid, cap: int, c_max: int,
         overflow = overflow | (cid[order[m]] < ncells)
 
     # window-neighbor block rows via a dense cell -> block-row map (one
-    # small scatter + pure gathers; binary searches over the occ list cost
-    # 15x more random accesses)
+    # small scatter, then shifted window tables + row gathers — see
+    # neighbor_window_rows)
     dense_map = jnp.full((ncells + 1,), c_max, dtype=jnp.int32)
     dense_map = dense_map.at[jnp.minimum(occ_cells, ncells)].set(
         jnp.arange(c_max, dtype=jnp.int32), mode="drop")
     dense_map = dense_map.at[ncells].set(c_max)
-    coords = _unflatten(occ_cells, grid)  # (C_max, dim)
-    gshape = jnp.asarray(grid.shape, dtype=jnp.int32)
-    periodic = grid.periodic or (False,) * dim
-    pmask = jnp.asarray(periodic)
-    nbrs = []
-    for off in _window_offsets(dim):
-        nc = coords + jnp.asarray(off, dtype=jnp.int32)
-        if any(periodic):
-            nc = jnp.where(pmask, jnp.mod(nc, gshape), nc)
-        inb = jnp.all((nc >= 0) & (nc < gshape), axis=-1)
-        target = jnp.where(inb, grid.flatten_coords(jnp.clip(nc, 0, gshape - 1)),
-                           ncells)
-        nbrs.append(dense_map[target])
-    nbr_block = jnp.stack(nbrs, axis=1)
+    nbr_block = neighbor_window_rows(occ_cells, grid, dense_map, c_max)
 
     return BlockMap(occ_cells=occ_cells, n_occ=n_occ, nbr_block=nbr_block,
                     slot_particle=slot_particle, slot_mask=slot_mask,
@@ -218,25 +343,10 @@ def cross_neighbor_blocks(occ_cells_q, grid: CellGrid, bm_src: BlockMap,
     of its 3^dim window cells (sentinel = src c_max).  Pass the source's
     precomputed `dense_cell_map` to replace binary searches with gathers
     (static contact bodies)."""
-    dim = grid.dim
-    ncells = grid.ncells
     c_max_s = bm_src.c_max
     dm = src_dense_map if src_dense_map is not None else dense_cell_map(
-        bm_src.occ_cells, ncells, c_max_s)
-    coords = _unflatten(occ_cells_q, grid)
-    gshape = jnp.asarray(grid.shape, dtype=jnp.int32)
-    periodic = grid.periodic or (False,) * dim
-    pmask = jnp.asarray(periodic)
-    nbrs = []
-    for off in _window_offsets(dim):
-        nc = coords + jnp.asarray(off, dtype=jnp.int32)
-        if any(periodic):
-            nc = jnp.where(pmask, jnp.mod(nc, gshape), nc)
-        inb = jnp.all((nc >= 0) & (nc < gshape), axis=-1)
-        target = jnp.where(inb, grid.flatten_coords(jnp.clip(nc, 0, gshape - 1)),
-                           ncells)
-        nbrs.append(dm[target])
-    return jnp.stack(nbrs, axis=1)
+        bm_src.occ_cells, grid.ncells, c_max_s)
+    return neighbor_window_rows(occ_cells_q, grid, dm, c_max_s)
 
 
 # ---------------------------------------------------------------------------
