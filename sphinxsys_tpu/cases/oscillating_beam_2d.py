@@ -64,13 +64,15 @@ class BeamCase:
     base_mask: jnp.ndarray  # constrained particles
     n_solid: int
     grid: Any = None        # background grid (slab decomposition domain)
+    integrator: str = "pk2"  # "pk2" | "cauchy" (Integration1stHalfCauchy)
 
     @property
     def kernel(self):
         return self.adaptation.kernel
 
 
-def build_case(dx: float | None = None, dtype=jnp.float32, k_inner: int = 64):
+def build_case(dx: float | None = None, dtype=jnp.float32, k_inner: int = 64,
+               integrator: str = "pk2"):
     dx = dx or PH / 10.0
     adaptation = SPHAdaptation(spacing=dx, dim=2)
     BW = dx * 4
@@ -122,7 +124,8 @@ def build_case(dx: float | None = None, dtype=jnp.float32, k_inner: int = 64):
     solid["Velocity"] = jnp.asarray(vel, dtype=dtype)
 
     case = BeamCase(dx=dx, adaptation=adaptation, material=material, rp=rp,
-                    base_mask=base_mask, n_solid=len(pos), grid=grid)
+                    base_mask=base_mask, n_solid=len(pos), grid=grid,
+                    integrator=integrator)
     sim = BeamSim(solid=solid, time=jnp.zeros((), dtype),
                   n_steps=jnp.zeros((), jnp.int32), dt=jnp.zeros((), dtype))
     return case, sim
@@ -131,7 +134,9 @@ def build_case(dx: float | None = None, dtype=jnp.float32, k_inner: int = 64):
 def _step(case: BeamCase, s: BeamSim) -> BeamSim:
     h = case.adaptation.h
     w0 = case.kernel.w0(2)
-    solid = sd.integration_1st_half_pk2(s.solid, case.rp, case.material, s.dt, h, w0)
+    pk1_fn = sd.cauchy_pk1_fn(case.material) if case.integrator == "cauchy" else None
+    solid = sd.integration_1st_half_pk2(s.solid, case.rp, case.material, s.dt,
+                                        h, w0, pk1_fn=pk1_fn)
     solid = sd.fix_constraint(solid, case.base_mask)
     solid = sd.integration_2nd_half(solid, case.rp, s.dt)
     dt_next = sd.solid_acoustic_time_step(solid, case.material.sound_speed, h)

@@ -147,6 +147,16 @@ class ElasticSolid(Solid):
         volumetric split (elastic_solid.cpp:98): K J (J - 1)."""
         return self.bulk_modulus * J * (J - 1.0)
 
+    def stress_cauchy(self, almansi_strain):
+        """Cauchy stress from the Almansi strain (elastic_solid.cpp:93-96,
+        linear/SVK form): sigma = lambda tr(eps) I + 2 G eps.  Used by
+        Integration1stHalfCauchy via PK1 = J sigma F^-T."""
+        dim = almansi_strain.shape[-1]
+        eye = jnp.eye(dim, dtype=almansi_strain.dtype)
+        tr = jnp.trace(almansi_strain, axis1=-2, axis2=-1)
+        return self.lambda0 * tr[..., None, None] * eye \
+            + 2.0 * self.shear_modulus * almansi_strain
+
 
 @dataclasses.dataclass(frozen=True)
 class LinearElasticSolid(ElasticSolid):
@@ -231,6 +241,19 @@ class NeoHookeanSolid(ElasticSolid):
     def volumetric_kirchhoff(self, J):
         """elastic_solid.cpp:129: 0.5 K (J^2 - 1)."""
         return 0.5 * self.bulk_modulus * (J * J - 1.0)
+
+    def stress_cauchy(self, almansi_strain):
+        """elastic_solid.cpp:119-126: with B = (I - 2 eps)^-1, J = sqrt(|B|):
+        sigma = K/2 (J - 1/J) I + G J^{-2/d - 1} dev(B)."""
+        dim = almansi_strain.shape[-1]
+        eye = jnp.eye(dim, dtype=almansi_strain.dtype)
+        B = jnp.linalg.inv(eye - 2.0 * almansi_strain)
+        J = jnp.sqrt(jnp.linalg.det(B))
+        trB = jnp.trace(B, axis1=-2, axis2=-1)
+        G, K = self.shear_modulus, self.bulk_modulus
+        dev = B - (trB / dim)[..., None, None] * eye
+        return (0.5 * K * (J - 1.0 / J))[..., None, None] * eye \
+            + G * (J ** (-2.0 / dim - 1.0))[..., None, None] * dev
 
 
 @dataclasses.dataclass(frozen=True)

@@ -157,6 +157,22 @@ def integration_1st_half_pk2(solid: State, rp: ReferencePairs, material,
     return out
 
 
+def cauchy_pk1_fn(material):
+    """PK1 hook implementing Integration1stHalfCauchy
+    (elastic_dynamics.cpp:148-160): obtain PK1 from the Cauchy stress of
+    the Almansi strain, P = J sigma(eps_almansi) F^-T; pass as
+    `pk1_fn` to integration_1st_half_pk2."""
+    def pk1(solid, F):
+        dim = F.shape[-1]
+        eye = jnp.eye(dim, dtype=F.dtype)
+        J = jnp.linalg.det(F)
+        FFT = F @ jnp.swapaxes(F, -1, -2)
+        almansi = 0.5 * (eye - jnp.linalg.inv(FFT))
+        invFT = jnp.swapaxes(jnp.linalg.inv(F), -1, -2)
+        return J[..., None, None] * material.stress_cauchy(almansi) @ invFT
+    return pk1
+
+
 def decomposed_integration_1st_half(solid: State, rp: ReferencePairs,
                                     material, dt, smoothing_length: float,
                                     correction_factor: float = 1.07) -> State:

@@ -160,6 +160,9 @@ CASES = {
         t_end=1.0),
     "oscillating_beam_2d": _run_single_fluid(
         "oscillating_beam_2d", lambda c, s: {"BeamBody": s.solid}, t_end=1.0),
+    "oscillating_beam_cauchy_2d": _run_single_fluid(
+        "oscillating_beam_cauchy_2d", lambda c, s: {"BeamBody": s.solid},
+        t_end=1.0),
     "shell_cantilever_2d": _run_single_fluid(
         "shell_cantilever_2d", lambda c, s: {"Shell": s.shell}, t_end=1.0),
     "slender_beam_3d": _run_single_fluid(

@@ -187,3 +187,29 @@ def test_nonlinear_hardening_saturates():
         tau[0] - jnp.trace(tau[0]) / 3 * jnp.eye(3)))
     # saturated flow stress bounds the deviatoric stress
     assert dev_norm < math.sqrt(2.0 / 3.0) * 8.0 * 1.1
+
+
+def test_cauchy_integrator_tracks_pk2(beam_run):
+    """Integration1stHalfCauchy (cauchy_oscillating_beam.cpp) vs the PK2
+    form: same SVK physics discretized through sigma(almansi) -> PK1 —
+    first-swing trough must agree closely with the PK2 integrator."""
+    from sphinxsys_tpu.cases import oscillating_beam_cauchy_2d as obc
+    from sphinxsys_tpu.cases import oscillating_beam_2d as ob
+
+    case, s = obc.build_case(dx=ob.PH / 6)
+    assert case.integrator == "cauchy"
+    run = obc.make_run_chunk(case)
+    tips = [(0.0, 0.0)]
+    for i in range(1, 13):
+        s = run(s, jnp.asarray(i * 0.035, s.time.dtype))
+        tips.append((float(s.time), obc.tip_displacement(case, s)))
+    tips = np.asarray(tips)
+
+    _, _, tips_pk2 = beam_run
+    d_c, d_p = tips[:, 1], tips_pk2[:, 1]
+    # trough depth within 5%, trough time within one output interval
+    i_c, i_p = np.argmin(d_c), np.argmin(d_p)
+    assert abs(d_c[i_c] - d_p[i_p]) < 0.05 * abs(d_p[i_p])
+    assert abs(tips[i_c, 0] - tips_pk2[i_p, 0]) < 0.04
+    # pointwise trajectories stay close through the first swing
+    assert np.max(np.abs(d_c - d_p)) < 0.15 * np.max(np.abs(d_p))
