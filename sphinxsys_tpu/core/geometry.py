@@ -157,6 +157,39 @@ class Ellipsoid(Shape):
 
 
 @dataclasses.dataclass(frozen=True)
+class Cylinder(Shape):
+    """Finite circular cylinder (TriangleMeshShapeCylinder analog):
+    `axis` is the symmetry direction (unit-normalized), `halflength` the
+    half-height.  Exact SDF from the (radial, axial) 2D box distance."""
+
+    center: Tuple[float, ...]
+    axis: Tuple[float, ...]
+    radius: float
+    halflength: float
+    name: str = "Cylinder"
+
+    def signed_distance(self, pos):
+        c = jnp.asarray(self.center, dtype=pos.dtype)
+        a = np.asarray(self.axis, dtype=np.float64)
+        a = jnp.asarray(a / np.linalg.norm(a), dtype=pos.dtype)
+        p = pos - c
+        ax = jnp.sum(p * a, axis=-1)
+        rad_vec = p - ax[..., None] * a
+        rad = jnp.sqrt(jnp.sum(rad_vec * rad_vec, axis=-1) + 1e-30)
+        dr = rad - self.radius
+        dz = jnp.abs(ax) - self.halflength
+        outside = jnp.sqrt(jnp.maximum(dr, 0.0) ** 2
+                           + jnp.maximum(dz, 0.0) ** 2)
+        inside = jnp.minimum(jnp.maximum(dr, dz), 0.0)
+        return outside + inside
+
+    def bounds(self):
+        c = np.asarray(self.center, dtype=np.float64)
+        ext = self.radius + self.halflength  # loose box (any axis tilt)
+        return c - ext, c + ext
+
+
+@dataclasses.dataclass(frozen=True)
 class HalfSpace(Shape):
     """Half space {x : (x - point) . normal < 0}; useful for open walls."""
 

@@ -131,6 +131,9 @@ CASES = {
         "water_entry_exit_2d",
         lambda c, s: {"WaterBody": s.fluid, "Cylinder": s.cyl,
                       "Wall": c.wall}, t_end=1.0),
+    "repose_angle_3d": _run_single_fluid(
+        "repose_angle_3d",
+        lambda c, s: {"GranularBody": s.soil, "Wall": c.wall}, t_end=1.0),
     "flow_around_cylinder_2d": _run_single_fluid(
         "flow_around_cylinder_2d",
         lambda c, s: {"WaterBody": s.fluid, "Cylinder": s.cyl}, t_end=200.0),
