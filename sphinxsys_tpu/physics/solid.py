@@ -232,6 +232,79 @@ def decomposed_integration_1st_half(solid: State, rp: ReferencePairs,
     return out
 
 
+def decomposed_plastic_integration_1st_half(solid: State, rp: ReferencePairs,
+                                            material, dt,
+                                            smoothing_length: float) -> State:
+    """DecomposedPlasticIntegration1stHalf (inelastic_dynamics.cpp:16-33,
+    inelastic_dynamics.h:44-80): the essentially non-hourglass
+    volumetric-deviatoric decomposition for J2-plastic solids.  Per
+    particle the radial-return map updates the carried plastic state
+    (InversePlasticStrain, HardeningParameter) and yields the normalized
+    elastic left Cauchy-Green tensor be:
+
+      scaling_i = be_i F_i^-T
+      S_i       = F_i^-T [VolK(J) - G tr(be)/d] + 0.125 damping F_i^-T
+      e_diff    = 0.5 (F_i^-1 + F_j^-1) (x_i - x_j)/r0_ij - e0_ij
+      limiter   = min(10 max(|e_diff| - 0.05, 0), 1)
+      shear_ij  = G (scaling_i + scaling_j) (e0_ij + limiter e_diff)
+      F_i      += m_i/rho0 sum_j [(S_i + S_j) e0_ij + shear_ij] dW0 V_j
+
+    (frozen reference pairs r0/e0/dW0; the limiter feeds the deviatoric
+    force the *current* pair direction only once particles shear visibly,
+    which keeps the quasi-static necking free of hourglass modes)."""
+    out = dict(solid)
+    dim = solid["Position"].shape[1]
+    rho0 = material.rho0
+    G = material.shear_modulus
+
+    # --- initialization ----------------------------------------------------
+    pos = solid["Position"] + solid["Velocity"] * (0.5 * dt)
+    F = solid["DeformationGradient"] + solid["DeformationRate"] * (0.5 * dt)
+    dF = solid["DeformationRate"]
+    J = jnp.linalg.det(F)
+    rho = rho0 / J
+    nbe, inv_ps, kappa = material.elastic_left_cauchy(
+        F, solid["InversePlasticStrain"], solid["HardeningParameter"])
+    invF = jnp.linalg.inv(F)
+    invFT = jnp.swapaxes(invF, -1, -2)
+    scaling = nbe @ invFT
+    iso = G * jnp.trace(nbe, axis1=-2, axis2=-1) / dim
+    # NumericalDampingLeftCauchy (elastic_solid.h:91-97), 0.125-weighted
+    sr = 0.5 * (dF @ jnp.swapaxes(F, -1, -2) + F @ jnp.swapaxes(dF, -1, -2))
+    diag = jnp.eye(dim, dtype=F.dtype) * sr
+    damp = 0.5 * rho0 * (material.shear_wave_speed * (sr - diag)
+                         + material.sound_speed * diag) * smoothing_length
+    S = ((material.volumetric_kirchhoff(J) - iso)[:, None, None] * invFT
+         + 0.125 * damp @ invFT)
+
+    # --- interaction --------------------------------------------------------
+    vol_j, _ = gather(solid["VolumetricMeasure"], rp.idx)
+    S_j, _ = gather(S, rp.idx)
+    scal_j, _ = gather(scaling, rp.idx)
+    invF_j, _ = gather(invF, rp.idx)
+    pos_j, _ = gather(pos, rp.idx)
+    pair_d = pos[:, None, :] - pos_j                      # (N,K,d)
+    pair_invF = 0.5 * (invF[:, None] + invF_j)            # (N,K,d,d)
+    e_diff = (jnp.einsum("nkij,nkj->nki", pair_invF, pair_d)
+              / (rp.r + TINY)[..., None]) - rp.e
+    e_norm = jnp.linalg.norm(e_diff, axis=-1)
+    limiter = jnp.minimum(10.0 * jnp.maximum(e_norm - 0.05, 0.0), 1.0)
+    shear = G * jnp.einsum("nkij,nkj->nki", scaling[:, None] + scal_j,
+                           rp.e + limiter[..., None] * e_diff)
+    pair = jnp.einsum("nkij,nkj->nki", S[:, None] + S_j, rp.e) + shear
+    coeff = (rp.dW * vol_j * rp.mask)[..., None]
+    force = (solid["Mass"] / rho0)[:, None] * jnp.sum(pair * coeff, axis=1)
+
+    # --- update --------------------------------------------------------------
+    vel = solid["Velocity"] + (solid["ForcePrior"] + force) / solid["Mass"][:, None] * dt
+    out.update({
+        "Position": pos, "DeformationGradient": F, "Density": rho,
+        "Force": force, "Velocity": vel,
+        "InversePlasticStrain": inv_ps, "HardeningParameter": kappa,
+    })
+    return out
+
+
 def integration_2nd_half(solid: State, rp: ReferencePairs, dt) -> State:
     out = dict(solid)
     pos = solid["Position"] + solid["Velocity"] * (0.5 * dt)

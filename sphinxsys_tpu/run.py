@@ -294,6 +294,9 @@ CASES = {
         lambda c, s: {"DiffusionBody": s.body,
                       "InternalConvectionBoundary": c.air_in,
                       "ExternalConvectionBoundary": c.air_ex}, t_end=0.02),
+    "stretching_2d": _run_single_fluid(
+        "stretching_2d",
+        lambda c, s: {"StretchingBody": s.bar}, t_end=100.0),
 }
 
 
