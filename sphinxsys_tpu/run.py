@@ -297,6 +297,9 @@ CASES = {
     "stretching_2d": _run_single_fluid(
         "stretching_2d",
         lambda c, s: {"StretchingBody": s.bar}, t_end=100.0),
+    "impact_patch_2d": _run_single_fluid(
+        "impact_patch_2d",
+        lambda c, s: {"WaterBody": s.fluid}, t_end=1.0),
 }
 
 
