@@ -467,7 +467,8 @@ def transport_velocity_correction(fluid: State, nl_inner: NeighborList, kernel,
                                   nl_wall: NeighborList | None = None,
                                   box=None, walls: Sequence[tuple] = (),
                                   shell_walls: Sequence[tuple] = (),
-                                  scope_mask=None) -> State:
+                                  scope_mask=None,
+                                  surface_projection: bool = False) -> State:
     """Shift positions down the kernel-gradient-integral "inconsistency" to
     keep particle distributions uniform (transport_velocity_correction.hpp:
     37-67):
@@ -501,6 +502,22 @@ def transport_velocity_correction(fluid: State, nl_inner: NeighborList, kernel,
     shift = coefficient * h2 * (lim[..., None] if limiter_slope is not None else 1.0) * inconsistency
     if scope_mask is not None:  # e.g. BulkParticles: Indicator == 0
         shift = jnp.where(scope_mask[:, None], shift, 0.0)
+    if surface_projection:
+        # the cohesive-soil unified TVC (cohesive_soil_failure.h:128-143):
+        # surface-indicated particles only shift TANGENTIALLY to the free
+        # surface, and not at all where the support is strongly deficient
+        # (pos_div < 0.6*dim) — otherwise the correction pumps the surface
+        # outward along its own deficiency direction.  The projection
+        # direction is the normalized kernel-gradient integral, which at a
+        # free surface IS the (inward) surface normal (the reference reads
+        # the separately stored FreeSurfaceNormal; same vector there).
+        nrm = inconsistency / (jnp.linalg.norm(inconsistency, axis=-1,
+                                               keepdims=True) + TINY)
+        tangential = shift - jnp.sum(shift * nrm, axis=-1, keepdims=True) * nrm
+        at_surface = fluid["Indicator"] == 1
+        shift = jnp.where(at_surface[:, None], tangential, shift)
+        deficient = fluid["PositionDivergence"] < 0.6 * dim
+        shift = jnp.where((at_surface & deficient)[:, None], 0.0, shift)
     out["Position"] = pos + shift
     return out
 
