@@ -165,10 +165,20 @@ def eulerian_time_step(state: State, eos, h_min: float, cfl: float = 0.6):
 # ---------------------------------------------------------------------------
 
 def hllc_interface_state(gas, rho_i, vel_i, p_i, E_i, rho_j, vel_j, p_j, E_j,
-                         e_ij):
+                         e_ij, limiter: float | None = None):
     """HLLCRiemannSolver::getInterfaceState (eulerian_riemann_solver.cpp:
     26-90), vectorized: classic three-wave HLLC star state for an ideal
-    gas.  E is energy per volume; e_ij points j -> i."""
+    gas.  E is energy per volume; e_ij points j -> i.
+
+    `limiter`: HLLCWithLimiterRiemannSolver (eulerian_riemann_solver.cpp:
+    89-170) — the pressure-difference contributions to the contact speed
+    and star pressure are scaled by min(limiter * max((ul-ur)/c_lr, 0), 1)
+    (squared for s_star), which switches the scheme's pressure-jump
+    dissipation off in smooth low-Mach regions; required for the
+    effectively incompressible Eulerian cases (taylor_green_LG).
+    Deviation: the plain Davis wave-speed estimates are kept instead of
+    the reference's Roe-average tilde speeds — the limiter, not the wave
+    speed bound, is what controls the low-Mach behavior."""
     ul = -jnp.sum(e_ij * vel_i, axis=-1)
     ur = -jnp.sum(e_ij * vel_j, axis=-1)
     c_l = gas.sound_speed(p_i, rho_i)
@@ -176,8 +186,16 @@ def hllc_interface_state(gas, rho_i, vel_i, p_i, E_i, rho_j, vel_j, p_j, E_j,
     s_l = ul - c_l
     s_r = ur + c_r
     denom = rho_j * (s_r - ur) + rho_i * (ul - s_l)
+    if limiter is not None:
+        clr = (rho_i * c_l + rho_j * c_r) / (rho_i + rho_j)
+        lim = jnp.minimum(limiter * jnp.maximum((ul - ur) / clr, 0.0), 1.0)
+        dp_scale = lim * lim
+    else:
+        lim = None
+        dp_scale = 1.0
     s_star_raw = (rho_j * ur * (s_r - ur) + rho_i * ul * (ul - s_l)
-                  + p_i - p_j) / jnp.where(jnp.abs(denom) < 1e-14, 1.0, denom)
+                  + (p_i - p_j) * dp_scale) / jnp.where(
+                      jnp.abs(denom) < 1e-14, 1.0, denom)
     s_avg = 0.5 * (ul + ur)
     s_star = jnp.where(
         (jnp.abs(denom) < 1e-14) | (s_star_raw < s_l - 1000.0)
@@ -188,15 +206,29 @@ def hllc_interface_state(gas, rho_i, vel_i, p_i, E_i, rho_j, vel_j, p_j, E_j,
     def safe(x):
         return jnp.where(jnp.abs(x) < 1e-12, jnp.where(x < 0, -1e-12, 1e-12), x)
 
-    p_star_mid = p_i + rho_i * (s_l - ul) * (s_star - ul)
-    v_star_l = vel_i - e_ij * (s_star - ul)[..., None]
-    rho_star_l = rho_i * (s_l - ul) / safe(s_l - s_star)
-    E_star_l = rho_star_l * (E_i / safe(rho_i) + (s_star - ul) *
-                             (s_star + p_i / safe(rho_i * (s_l - ul))))
-    v_star_r = vel_j - e_ij * (s_star - ur)[..., None]
-    rho_star_r = rho_j * (s_r - ur) / safe(s_r - s_star)
-    E_star_r = rho_star_r * (E_j / safe(rho_j) + (s_star - ur) *
-                             (s_star + p_j / safe(rho_j * (s_r - ur))))
+    if limiter is not None:
+        # limited star pressure (eulerian_riemann_solver.cpp:140-143)
+        p_star_mid = 0.5 * (p_i + p_j) + 0.5 * lim * (
+            rho_i * (s_l - ul) * (s_star - ul)
+            + rho_j * (s_r - ur) * (s_star - ur))
+        v_star_l = vel_i - e_ij * (s_star - ul)[..., None]
+        rho_star_l = rho_i * (s_l - ul) / safe(s_l - s_star)
+        E_star_l = ((s_l - ul) * E_i - p_i * ul
+                    + p_star_mid * s_star) / safe(s_l - s_star)
+        v_star_r = vel_j - e_ij * (s_star - ur)[..., None]
+        rho_star_r = rho_j * (s_r - ur) / safe(s_r - s_star)
+        E_star_r = ((s_r - ur) * E_j - p_j * ur
+                    + p_star_mid * s_star) / safe(s_r - s_star)
+    else:
+        p_star_mid = p_i + rho_i * (s_l - ul) * (s_star - ul)
+        v_star_l = vel_i - e_ij * (s_star - ul)[..., None]
+        rho_star_l = rho_i * (s_l - ul) / safe(s_l - s_star)
+        E_star_l = rho_star_l * (E_i / safe(rho_i) + (s_star - ul) *
+                                 (s_star + p_i / safe(rho_i * (s_l - ul))))
+        v_star_r = vel_j - e_ij * (s_star - ur)[..., None]
+        rho_star_r = rho_j * (s_r - ur) / safe(s_r - s_star)
+        E_star_r = rho_star_r * (E_j / safe(rho_j) + (s_star - ur) *
+                                 (s_star + p_j / safe(rho_j * (s_r - ur))))
 
     left = (0.0 < s_l)
     midl = (s_l <= 0.0) & (0.0 <= s_star)
@@ -243,7 +275,8 @@ def make_compressible_eulerian_state(pos, volume, gas, rho0, p0, vel0=None,
 
 
 def compressible_integration_1st_half(state: State, nl: NeighborList, kernel,
-                                      dim: int, gas, dt, box=None) -> State:
+                                      dim: int, gas, dt, box=None,
+                                      limiter: float | None = None) -> State:
     """EulerianCompressibleIntegration1stHalf with the HLLC flux:
     dmom/dt_i = F_prior - 2 V_i sum_j (rho* v* v*^T + p* I) e dW V_j."""
     out = dict(state)
@@ -256,7 +289,8 @@ def compressible_integration_1st_half(state: State, nl: NeighborList, kernel,
     vol_i = state["VolumetricMeasure"]
 
     rho_s, v_s, p_s, E_s = hllc_interface_state(
-        gas, rho_i, vel_i, p_i, E_vol[:, None], rho_j, vel_j, p_j, E_j, pg.e)
+        gas, rho_i, vel_i, p_i, E_vol[:, None], rho_j, vel_j, p_j, E_j, pg.e,
+        limiter=limiter)
     dWV = (pg.dW * vol_j * pg.mask)
     flux = (rho_s * jnp.sum(v_s * pg.e, axis=-1))[..., None] * v_s + \
         p_s[..., None] * pg.e
@@ -270,7 +304,8 @@ def compressible_integration_1st_half(state: State, nl: NeighborList, kernel,
 
 
 def compressible_integration_2nd_half(state: State, nl: NeighborList, kernel,
-                                      dim: int, gas, dt, box=None) -> State:
+                                      dim: int, gas, dt, box=None,
+                                      limiter: float | None = None) -> State:
     """EulerianCompressibleIntegration2ndHalf: mass + energy fluxes, then
     rho = mass/V and p = (gamma-1)(E/V - rho |v|^2 / 2)."""
     out = dict(state)
@@ -283,7 +318,8 @@ def compressible_integration_2nd_half(state: State, nl: NeighborList, kernel,
     vel_i = state["Velocity"][:, None, :]
 
     rho_s, v_s, p_s, E_s = hllc_interface_state(
-        gas, rho_i, vel_i, p_i, E_vol[:, None], rho_j, vel_j, p_j, E_j, pg.e)
+        gas, rho_i, vel_i, p_i, E_vol[:, None], rho_j, vel_j, p_j, E_j, pg.e,
+        limiter=limiter)
     dWV = (pg.dW * vol_j * pg.mask)
     u_n = jnp.sum(v_s * pg.e, axis=-1)
     dmass_dt = -2.0 * vol_i * jnp.sum(rho_s * u_n * dWV, axis=1)

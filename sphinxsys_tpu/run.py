@@ -300,6 +300,9 @@ CASES = {
     "impact_patch_2d": _run_single_fluid(
         "impact_patch_2d",
         lambda c, s: {"WaterBody": s.fluid}, t_end=1.0),
+    "eulerian_taylor_green_2d": _run_single_fluid(
+        "eulerian_taylor_green_2d",
+        lambda c, s: {"WaterBody": s.fluid}, t_end=5.0),
     "cohesive_soil_failure_2d": _run_single_fluid(
         "cohesive_soil_failure_2d",
         lambda c, s: {"GranularBody": s.soil, "WallBoundary": c.wall},
