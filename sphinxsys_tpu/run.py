@@ -300,6 +300,9 @@ CASES = {
     "impact_patch_2d": _run_single_fluid(
         "impact_patch_2d",
         lambda c, s: {"WaterBody": s.fluid}, t_end=1.0),
+    "anisotropic_beam_2d": _run_single_fluid(
+        "anisotropic_beam_2d", lambda c, s: {"BeamBody": s.solid},
+        t_end=1.0),
     "eulerian_taylor_green_2d": _run_single_fluid(
         "eulerian_taylor_green_2d",
         lambda c, s: {"WaterBody": s.fluid}, t_end=5.0),
