@@ -328,6 +328,34 @@ def _run_play_simbody(cfg: RunConfig):
 CASES["play_simbody_3d"] = _run_play_simbody
 
 
+def _run_vp_optimization(cfg: RunConfig):
+    """VIPO target-driven thermal optimization (tests/optimization/*):
+    steady solve + autodiff optimization, writes the optimized
+    conductivity/temperature layout as VTP."""
+    from sphinxsys_tpu.cases import vp_heat_flux_2d as vp
+    p = dict(cfg.parameters)
+    config = str(p.pop("config", "heat_flux"))
+    n_steps = int(p.pop("n_steps", 150))
+    case = vp.build_case(config, **p)
+    k0 = jnp.full((case.body["Position"].shape[0],), vp.DIFF_COEFF,
+                  case.body["Position"].dtype)
+    T0 = vp.steady_temperature(case, k0)
+    log.info("steady (uniform k) mean T = %.2f", float(jnp.mean(T0)))
+    k, T, hist = vp.optimize_conductivity(case, n_steps=n_steps)
+    log.info("optimized mean T = %.2f (after %d Adam steps)",
+             float(jnp.mean(T)), n_steps)
+    if cfg.state_recording:
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        body = dict(case.body)
+        body["Phi"], body["ThermalConductivity"] = T, k
+        write_vtp(os.path.join(cfg.output_dir, "DiffusionBody_opt.vtp"),
+                  body, ["Phi", "ThermalConductivity"])
+    return k, T, hist
+
+
+CASES["vp_heat_flux_2d"] = _run_vp_optimization
+
+
 def main(argv=None):
     import sys
 
