@@ -100,8 +100,12 @@ CASES = {
         t_end=2.0),
     "owsc_2d": _run_single_fluid(
         "owsc_2d",
-        lambda c, s: {"WaterBody": s.fluid, "Flap": s.flap, "Wall": c.wall},
-        t_end=4.0),
+        lambda c, s: {"WaterBody": s.fluid, "Flap": s.flap, "Wall": s.wall},
+        t_end=12.0),
+    "nonlinear_wave_fsi_2d": _run_single_fluid(
+        "nonlinear_wave_fsi_2d",
+        lambda c, s: {"WaterBody": s.fluid, "Structure": s.block,
+                      "Wall": s.wall}, t_end=20.0),
     "floating_body_2d": _run_single_fluid(
         "floating_body_2d",
         lambda c, s: {"WaterBody": s.fluid, "Block": s.block, "Wall": c.wall},
