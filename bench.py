@@ -48,6 +48,8 @@ def main() -> None:
             block_kwargs["tile_c"] = int(os.environ["BENCH_TILE_C"])
         if os.environ.get("BENCH_CAP"):
             block_kwargs["cap"] = int(os.environ["BENCH_CAP"])
+        if os.environ.get("BENCH_CAPW"):
+            block_kwargs["cap_wall"] = int(os.environ["BENCH_CAPW"])
     else:
         from sphinxsys_tpu.cases import dambreak_2d as db
         from sphinxsys_tpu.cases import dambreak_2d_block as dbb

@@ -294,8 +294,14 @@ def build_case(dx: float = DX_REF, dtype=jnp.float32, reserve: float = 0.3,
                                   upper=(-DL_SPONGE + BW, DH), axis=0)
     emitter_buffer = bd.AlignedBoxRegion(lower=(-DL_SPONGE, 0.0),
                                          upper=(0.0, DH), axis=0)
-    disposer = bd.AlignedBoxRegion(lower=(DL - BW, -BW),
-                                   upper=(DL + BW, DH + BW), axis=0)
+    # delete only PAST the outlet plane x = DL (the reference's
+    # DisposerOutflowDeletion checkUpperBound semantics,
+    # fluid_boundary.cpp:98-106).  A band that starts INSIDE the domain
+    # carves a standing vacuum at the outlet: measured n_alive growth
+    # +7.5%/10s and a monotonically rising pressure drag (fp 0.58 -> 5.6
+    # over t = 4..12) before this fix.
+    disposer = bd.AlignedBoxRegion(lower=(DL, -BW),
+                                   upper=(DL + 2 * BW, DH + BW), axis=0)
 
     eos = WeaklyCompressibleFluid(rho0=RHO0_F, c0=C_F)
     case = MRCylCase(dx=dx, adaptation=adaptation, eos=eos,
