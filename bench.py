@@ -50,6 +50,8 @@ def main() -> None:
             block_kwargs["cap"] = int(os.environ["BENCH_CAP"])
         if os.environ.get("BENCH_CAPW"):
             block_kwargs["cap_wall"] = int(os.environ["BENCH_CAPW"])
+        if os.environ.get("BENCH_WCHUNKS"):
+            block_kwargs["window_chunks"] = int(os.environ["BENCH_WCHUNKS"])
     else:
         from sphinxsys_tpu.cases import dambreak_2d as db
         from sphinxsys_tpu.cases import dambreak_2d_block as dbb

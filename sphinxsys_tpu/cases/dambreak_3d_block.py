@@ -52,7 +52,7 @@ class BlockCase:
 def build_case(dx: float = 0.05, dtype=jnp.float32, cap: int = 40,
                c_max: int | None = None, use_pallas: bool = False,
                pallas_interpret: bool = False, tile_c: int = 128,
-               cap_wall: int | None = None):
+               cap_wall: int | None = None, window_chunks: int = 1):
     base, fluid = db3.build_case(dx=dx, dtype=dtype)
 
     c_max = eng_mod.round_to(c_max or max(base.n_fluid // 5, 512), tile_c)
@@ -69,7 +69,7 @@ def build_case(dx: float = 0.05, dtype=jnp.float32, cap: int = 40,
         speed_ref=db3.U_REF, dim=3, free_surface=True, cap=cap, c_max=c_max,
         tile_c=tile_c, use_pallas=use_pallas,
         pallas_interpret=pallas_interpret, cap_ac_dt=False,
-        wall_static=True)
+        wall_static=True, window_chunks=window_chunks)
 
     # static wall blocks (jitted: eager remote-TPU dispatch is latency-bound)
     @jax.jit

@@ -360,16 +360,18 @@ def free_stream_target(pos, vel, t):
 
 
 def _startup_force(fluid, t):
-    """Startup body force.  DEVIATION from the reference's
-    StartupAcceleration (external_force.h:59-73, a = 0.5 pi sin(pi t/T) U:
-    an impulse of 2U that overshoots the stream to ~2U and relies on the
-    boundary conditions to regulate back down): a gentler cosine ramp
-    whose impulse is U/2 — the inflow/free-stream conditions carry the
-    stream to exactly U either way, without the violent overshoot
-    transient (measured |v| 2.8 near the cylinder at t=3 with the
-    reference ramp vs 1.1 with this one)."""
+    """Startup body force — the reference's StartupAcceleration EXACTLY
+    (external_force.h:59-73): a(t) = 0.5 pi sin(pi t/T) U/T for t < T, 0
+    after.  Its impulse is exactly U (NOT 2U: the 0.5 pi sin average is 1),
+    i.e. a smooth global ramp v(t) = U (1 - cos(pi t/T))/2 ending at U with
+    no overshoot.  The round-3 "gentler" half-impulse cosine ramp was the
+    ROOT CAUSE of the 2x steady drag: it left the downstream bulk at
+    ~U/2 (measured 0.56 at t=2..10) while the sponge inflow kept ramming
+    U into it — a permanent pile-up at the cylinder (bypass rings at
+    1.25 U), vertical spill through the free surfaces, and fv ~ 0.6-0.8
+    vs the reference band 0.30-0.38."""
     a = jnp.where(t < T_REF,
-                  0.5 * (U_F / T_REF) * (1.0 - jnp.cos(jnp.pi * t / T_REF)),
+                  0.5 * jnp.pi * jnp.sin(jnp.pi * t / T_REF) * (U_F / T_REF),
                   0.0)
     force = jnp.stack([a * fluid["Mass"],
                        jnp.zeros_like(fluid["Mass"])], axis=-1)

@@ -90,6 +90,8 @@ class BlockEngine:
     cap_ac_dt: bool = True    # cap acoustic dt by the advection dt
     wall_static: bool = False  # fixed walls: drop vel/acc wall channels
                                # (Pallas path only; big HBM win in 3D)
+    window_chunks: int = 1     # >1: never materialize the full inner
+                               # j-window tensor (large-N HBM discipline)
 
     @property
     def box(self):
@@ -213,7 +215,8 @@ def advection_prep(eng: BlockEngine, fb, nbr_inner, wc: WallCtx):
             fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.rho0,
             eng.sigma0, tile_c=eng.tile_c, interpret=eng.pallas_interpret,
             free_surface=eng.free_surface, box=eng.box, roll_y=eng.roll_y,
-            dim=eng.dim, wall_static=eng.wall_static)
+            dim=eng.dim, wall_static=eng.wall_static,
+            window_chunks=eng.window_chunks)
         if eng.mu > 0.0 or eng.tvc_coef > 0.0:
             fb = fbops.visc_tvc_p2(
                 fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.dim,
@@ -221,7 +224,8 @@ def advection_prep(eng: BlockEngine, fb, nbr_inner, wc: WallCtx):
                 tvc_limiter_slope=eng.tvc_limiter, tile_c=eng.tile_c,
                 interpret=eng.pallas_interpret, box=eng.box,
                 roll_y=eng.roll_y, do_viscous=eng.mu > 0.0,
-                do_tvc=eng.tvc_coef > 0.0, wall_static=eng.wall_static)
+                do_tvc=eng.tvc_coef > 0.0, wall_static=eng.wall_static,
+                window_chunks=eng.window_chunks)
         return fb
 
     contacts = []
@@ -270,12 +274,14 @@ def acoustic_step(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt):
             fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.eos,
             eng.riemann1, dt, tile_c=eng.tile_c,
             interpret=eng.pallas_interpret, box=eng.box, roll_y=eng.roll_y,
-            dim=eng.dim, wall_static=eng.wall_static)
+            dim=eng.dim, wall_static=eng.wall_static,
+            window_chunks=eng.window_chunks)
         fb = fbops.acoustic_step_2nd_half_p2(
             fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.riemann2,
             dt, tile_c=eng.tile_c, interpret=eng.pallas_interpret,
             box=eng.box, roll_y=eng.roll_y, dim=eng.dim,
-            wall_static=eng.wall_static)
+            wall_static=eng.wall_static,
+            window_chunks=eng.window_chunks)
         return fb
     walls = _jnp_walls(wc)
     wall_b = walls[0][0] if walls else None

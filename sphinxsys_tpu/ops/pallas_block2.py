@@ -99,7 +99,8 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
                 factor_w, inv_rho0c0, box, wall_static, mode="both"):
     # o_refs = f_refs[0..dim) + (rd_ref,)
     wrap = _make_wrap(box)
-    nw = _nw(dim)
+    nw_i = xj_ref.shape[0]   # window-chunkable
+    nw_w = wj_ref.shape[0]
     t = xi_ref.shape[-1]
     cap = xi_ref.shape[-2]          # slots per cell (configurable)
     capj = xj_ref.shape[-2]
@@ -121,7 +122,7 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
         ash = (cap, capj, t) if wide else (cap, t)
         facc = [jnp.zeros(ash, jnp.float32) for _ in range(dim)]
         rda = jnp.zeros(ash, jnp.float32)
-        for w in range(nw):
+        for w in range(nw_i):
             xj = xj_ref[w]                 # (d+2, CAP, T)
             d = wrap([x_i[k] - xj[k][None] for k in range(dim)])
             dwv, inv_r, _ = _wendland_dwv(d, xj[dim + 1][None], inv_h,
@@ -150,7 +151,7 @@ def _ac1_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
         a_i = [xi[dim + 2 + k][:, None, :] for k in range(dim)]
         fw = [jnp.zeros((cap, t), jnp.float32) for _ in range(dim)]
         rdw = jnp.zeros((cap, t), jnp.float32)
-        for w in range(nw):
+        for w in range(nw_w):
             wj = wj_ref[w]
             d = wrap([x_i[k] - wj[k][None] for k in range(dim)])
             dwv, inv_r, r = _wendland_dwv(d, wj[WVOL][None], inv_h, factor_w)
@@ -177,7 +178,8 @@ def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, *f_refs, dim,
                 inv_h, factor_w, rho0c0_geo, inv_c0, limiter_coeff, box,
                 wall_static, mode="both"):
     wrap = _make_wrap(box)
-    nw = _nw(dim)
+    nw_i = xj_ref.shape[0]   # window-chunkable
+    nw_w = wj_ref.shape[0]
     t = xi_ref.shape[-1]
     cap = xi_ref.shape[-2]
     capj = xj_ref.shape[-2]
@@ -194,7 +196,7 @@ def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, *f_refs, dim,
         ash = (cap, capj, t) if wide else (cap, t)
         dcra = jnp.zeros(ash, jnp.float32)
         facc = [jnp.zeros(ash, jnp.float32) for _ in range(dim)]
-        for w in range(nw):
+        for w in range(nw_i):
             xj = xj_ref[w]                 # (2d+1, CAP, T)
             d = wrap([x_i[k] - xj[k][None] for k in range(dim)])
             dwv, inv_r, _ = _wendland_dwv(d, xj[2 * dim][None], inv_h,
@@ -223,7 +225,7 @@ def _ac2_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, dcr_ref, *f_refs, dim,
         v_i = [xi[dim + k][:, None, :] for k in range(dim)]
         dcrw = jnp.zeros((cap, t), jnp.float32)
         fw = [jnp.zeros((cap, t), jnp.float32) for _ in range(dim)]
-        for w in range(nw):
+        for w in range(nw_w):
             wj = wj_ref[w]
             d = wrap([x_i[k] - wj[k][None] for k in range(dim)])
             dwv, inv_r, _ = _wendland_dwv(d, wj[WVOL][None], inv_h, factor_w)
@@ -270,10 +272,26 @@ def _split_call(kern_of_mode, xi_t, xj_t, wj_t, wflag, n_out, tile_c,
     return tuple(a + b for a, b in zip(outs_i, outs_w))
 
 
+def _side_call(kern_of_mode, side, xi_t, xj_t, wj_t, wflag, n_out, tile_c,
+               interpret=False):
+    """Single-side sweep (window chunking): side="inner" runs only the
+    fluid windows of the given xj_t chunk (wall tensor replaced by a
+    1-window dummy — the mode-gated wall branch emits no code); "wall"
+    the converse.  Outputs ACCUMULATE across chunk calls by summation."""
+    c = xi_t.shape[-1]
+    if side == "inner":
+        dummy_w = jnp.zeros((1, wj_t.shape[1], 1, c), jnp.float32)
+        return _call(kern_of_mode("inner"), xi_t, xj_t, dummy_w, wflag,
+                     n_out, tile_c, interpret)
+    dummy_j = jnp.zeros((1, xj_t.shape[1], 1, c), jnp.float32)
+    return _call(kern_of_mode("wall"), xi_t, dummy_j, wj_t, wflag, n_out,
+                 tile_c, interpret)
+
+
 def _call(kern, xi_t, xj_t, wj_t, wflag, n_out, tile_c, interpret=False):
     chi, cap, c = xi_t.shape
-    nw, chj, capj = xj_t.shape[0], xj_t.shape[1], xj_t.shape[2]
-    chw, capw = wj_t.shape[1], wj_t.shape[2]
+    nwj, chj, capj = xj_t.shape[0], xj_t.shape[1], xj_t.shape[2]
+    nww, chw, capw = wj_t.shape[0], wj_t.shape[1], wj_t.shape[2]
     if c % tile_c != 0:
         raise ValueError(f"block count {c} not a multiple of tile_c={tile_c}")
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -282,9 +300,9 @@ def _call(kern, xi_t, xj_t, wj_t, wflag, n_out, tile_c, interpret=False):
         in_specs=[
             pl.BlockSpec((chi, cap, tile_c), lambda i, *_: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nw, chj, capj, tile_c), lambda i, *_: (0, 0, 0, i),
+            pl.BlockSpec((nwj, chj, capj, tile_c), lambda i, *_: (0, 0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nw, chw, capw, tile_c), lambda i, *_: (0, 0, 0, i),
+            pl.BlockSpec((nww, chw, capw, tile_c), lambda i, *_: (0, 0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((cap, tile_c), lambda i, *_: (0, i),
@@ -302,17 +320,22 @@ def _call(kern, xi_t, xj_t, wj_t, wflag, n_out, tile_c, interpret=False):
                                              "inv_rho0c0", "tile_c",
                                              "interpret", "box_x", "box_y",
                                              "box_z", "dim", "wall_static",
-                                             "split_wall"))
+                                             "split_wall", "side"))
 def ac1_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
                 inv_rho0c0: float, tile_c: int = 256, interpret: bool = False,
                 box_x: float = 0.0, box_y: float = 0.0, box_z: float = 0.0,
                 dim: int = 2, wall_static: bool = False,
-                split_wall: bool = False):
-    """Fused 1st-half inner+wall sweep.  Returns (f[0..dim), rd), (cap, C)."""
+                split_wall: bool = False, side: str = ""):
+    """Fused 1st-half inner+wall sweep.  Returns (f[0..dim), rd), (cap, C).
+    `side`: "" = fused/split per split_wall; "inner"/"wall" = one side only
+    (window chunking — pass a window SUBSET as xj_t and sum outputs)."""
     kern = lambda mode: functools.partial(
         _ac1_kernel, dim=dim, inv_h=inv_h, factor_w=factor_w,
         inv_rho0c0=inv_rho0c0, box=(box_x, box_y, box_z)[:dim],
         wall_static=wall_static, mode=mode)
+    if side:
+        return _side_call(kern, side, xi_t, xj_t, wj_t, wflag, dim + 1,
+                          tile_c, interpret)
     if split_wall:
         return _split_call(kern, xi_t, xj_t, wj_t, wflag, dim + 1, tile_c,
                            interpret)
@@ -325,18 +348,21 @@ def ac1_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
                                              "tile_c", "interpret",
                                              "box_x", "box_y", "box_z",
                                              "dim", "wall_static",
-                                             "split_wall"))
+                                             "split_wall", "side"))
 def ac2_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
                 rho0c0_geo: float, inv_c0: float, limiter_coeff: float,
                 tile_c: int = 256, interpret: bool = False,
                 box_x: float = 0.0, box_y: float = 0.0, box_z: float = 0.0,
                 dim: int = 2, wall_static: bool = False,
-                split_wall: bool = False):
+                split_wall: bool = False, side: str = ""):
     """Fused 2nd-half inner+wall sweep.  Returns (dcr, f[0..dim)), (CAP, C)."""
     kern = lambda mode: functools.partial(
         _ac2_kernel, dim=dim, inv_h=inv_h, factor_w=factor_w,
         rho0c0_geo=rho0c0_geo, inv_c0=inv_c0, limiter_coeff=limiter_coeff,
         box=(box_x, box_y, box_z)[:dim], wall_static=wall_static, mode=mode)
+    if side:
+        return _side_call(kern, side, xi_t, xj_t, wj_t, wflag, dim + 1,
+                          tile_c, interpret)
     if split_wall:
         return _split_call(kern, xi_t, xj_t, wj_t, wflag, dim + 1, tile_c,
                            interpret)
@@ -357,7 +383,8 @@ def _visctvc_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
       I_i  = -sum_w sum_j 2 dW V_j e_ij                        (+ wall term)
     """
     wrap = _make_wrap(box)
-    nw = _nw(dim)
+    nw_i = xj_ref.shape[0]   # window-chunkable
+    nw_w = wj_ref.shape[0]
     t = xi_ref.shape[-1]
     cap = xi_ref.shape[-2]
     capj = xj_ref.shape[-2]
@@ -373,7 +400,7 @@ def _visctvc_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
         ash = (cap, capj, t) if wide else (cap, t)
         fva = [jnp.zeros(ash, jnp.float32) for _ in range(dim)]
         ia = [jnp.zeros(ash, jnp.float32) for _ in range(dim)]
-        for w in range(nw):
+        for w in range(nw_i):
             xj = xj_ref[w]                 # (2d+1, CAP, T)
             d = wrap([x_i[k] - xj[k][None] for k in range(dim)])
             dwv, inv_r, r = _wendland_dwv(d, xj[2 * dim][None], inv_h,
@@ -397,7 +424,7 @@ def _visctvc_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
         v_i = [xi[dim + k][:, None, :] for k in range(dim)]
         fvw = [jnp.zeros((cap, t), jnp.float32) for _ in range(dim)]
         iw = [jnp.zeros((cap, t), jnp.float32) for _ in range(dim)]
-        for w in range(nw):
+        for w in range(nw_w):
             wj = wj_ref[w]
             d = wrap([x_i[k] - wj[k][None] for k in range(dim)])
             dwv, inv_r, r = _wendland_dwv(d, wj[WVOL][None], inv_h, factor_w)
@@ -418,17 +445,21 @@ def _visctvc_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, *o_refs, dim, inv_h,
                                              "tile_c", "interpret",
                                              "box_x", "box_y", "box_z",
                                              "dim", "wall_static",
-                                             "split_wall"))
+                                             "split_wall", "side"))
 def visc_tvc_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
                      eps_r: float, tile_c: int = 256, interpret: bool = False,
                      box_x: float = 0.0, box_y: float = 0.0,
                      box_z: float = 0.0, dim: int = 2,
-                     wall_static: bool = False, split_wall: bool = False):
+                     wall_static: bool = False, split_wall: bool = False,
+                     side: str = ""):
     """Fused viscous + TVC inner+wall sweep.  xi_t: (2d, CAP, C) [pos, vel];
     xj_t: (NW, 2d+1, CAP, C) [pos, vel, vol].  Returns (fv[0..d), I[0..d))."""
     kern = lambda mode: functools.partial(
         _visctvc_kernel, dim=dim, inv_h=inv_h, factor_w=factor_w, eps_r=eps_r,
         box=(box_x, box_y, box_z)[:dim], wall_static=wall_static, mode=mode)
+    if side:
+        return _side_call(kern, side, xi_t, xj_t, wj_t, wflag, 2 * dim,
+                          tile_c, interpret)
     if split_wall:
         return _split_call(kern, xi_t, xj_t, wj_t, wflag, 2 * dim, tile_c,
                            interpret)
@@ -469,7 +500,8 @@ def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
              of this pure-W sum under periodic wrap)
       sigw = sum_w sum_k W V_k over wall windows (m_k / rho0_k = V_k)."""
     wrap = _make_wrap(box)
-    nw = _nw(dim)
+    nw_i = xj_ref.shape[0]   # window-chunkable
+    nw_w = wj_ref.shape[0]
     WVOL = _wall_idx(dim, wall_static)[0]
     xi = xi_ref[...]                       # (d, CAP, T)
     t = xi.shape[-1]
@@ -485,7 +517,7 @@ def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
         return factor_w * (1.0 - 0.5 * qc) ** 4 * (2.0 * qc + 1.0)
 
     if mode != "wall":
-        for w in range(nw):
+        for w in range(nw_i):
             xj = xj_ref[w]                 # (d+1, CAP, T) [pos, mask]
             d = wrap([x_i[k] - xj[k][None] for k in range(dim)])
             sig = sig + jnp.sum(w_of(d) * xj[dim][None], axis=1)
@@ -494,7 +526,7 @@ def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
 
     def _wall():
         sigw = jnp.zeros((cap, t), jnp.float32)
-        for w in range(nw):
+        for w in range(nw_w):
             wj = wj_ref[w]
             d = wrap([x_i[k] - wj[k][None] for k in range(dim)])
             sigw = sigw + jnp.sum(w_of(d) * wj[WVOL][None], axis=1)
@@ -507,12 +539,13 @@ def _dens_kernel(wflag_ref, xi_ref, xj_ref, wj_ref, sig_ref, sigw_ref, *,
 @functools.partial(jax.jit, static_argnames=("inv_h", "factor_w", "tile_c",
                                              "interpret", "box_x", "box_y",
                                              "box_z", "dim", "wall_static",
-                                             "split_wall"))
+                                             "split_wall", "side"))
 def density_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
                     tile_c: int = 256, interpret: bool = False,
                     box_x: float = 0.0, box_y: float = 0.0,
                     box_z: float = 0.0, dim: int = 2,
-                    wall_static: bool = False, split_wall: bool = False):
+                    wall_static: bool = False, split_wall: bool = False,
+                    side: str = ""):
     """Fused density-summation sweep.  xi_t: (d, CAP, C) positions;
     xj_t: (NW, d+1, CAP, C) [pos, slot-mask]; wj_t: the shared wall tensor.
     Returns (sig (CAP, C), sigw (CAP, C)): the fluid W*mask-sum (self pair
@@ -520,6 +553,9 @@ def density_sweep_t(xi_t, xj_t, wj_t, wflag, inv_h: float, factor_w: float,
     kern = lambda mode: functools.partial(
         _dens_kernel, dim=dim, inv_h=inv_h, factor_w=factor_w,
         box=(box_x, box_y, box_z)[:dim], wall_static=wall_static, mode=mode)
+    if side:
+        return _side_call(kern, side, xi_t, xj_t, wj_t, wflag, 2, tile_c,
+                          interpret)
     if split_wall:
         return _split_call(kern, xi_t, xj_t, wj_t, wflag, 2, tile_c,
                            interpret)

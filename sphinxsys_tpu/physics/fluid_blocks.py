@@ -463,7 +463,8 @@ def pack_wall_t(wall_b, nbr_wall, c_max_wall: int, tile_c: int = 256,
 
 
 
-def _window_jt(packed_j, nbr, c, roll_y: bool = True, dim: int = 2):
+def _window_jt(packed_j, nbr, c, roll_y: bool = True, dim: int = 2,
+               windows=None):
     """(C+1, CAP, CH) + (C, NW) -> (NW, CH, CAP, C) window stack in the
     transposed kernel layout (NW = 3^dim).
 
@@ -485,6 +486,25 @@ def _window_jt(packed_j, nbr, c, roll_y: bool = True, dim: int = 2):
     ctr = (nw - 1) // 2          # offset (0,...,0); ctr -+ 1 = last-axis -+1
     cap, ch = packed_j.shape[1], packed_j.shape[2]
     flat = packed_j.reshape(packed_j.shape[0], cap * ch)
+    if windows is not None:
+        # window-chunked build (large-N HBM discipline): gather ONLY the
+        # requested window subset, no roll shortcut; returns
+        # (len(windows), CH, CAP, C)
+        gw = tuple(w for w in windows if w != ctr)
+        base = flat[:c].reshape(c, cap, ch).transpose(2, 1, 0)
+        if gw:
+            gathered = jnp.stack([flat[nbr[:, w]] for w in gw], axis=0)
+            gathered = gathered.reshape(len(gw), c, cap, ch).transpose(
+                0, 3, 2, 1)
+        out = []
+        k = 0
+        for w in windows:
+            if w == ctr:
+                out.append(base)
+            else:
+                out.append(gathered[k])
+                k += 1
+        return jnp.stack(out, axis=0)
     if roll_y:
         gw = tuple(w for w in range(nw) if w not in (ctr - 1, ctr, ctr + 1))
     else:
@@ -512,6 +532,29 @@ def _window_jt(packed_j, nbr, c, roll_y: bool = True, dim: int = 2):
     return jnp.stack(out, axis=0)
 
 
+def _chunked_sweep(sweep_fn, xi_t, packed_j, nbr_inner, c, wall_jt, wflags,
+                   dim, window_chunks, **kw):
+    """Window-chunked sweep for large-N HBM discipline: the (3^dim, CH,
+    CAP, C) inner j-tensor never materializes whole — each chunk is built,
+    consumed by a side="inner" kernel call, and freed; the wall windows run
+    once as side="wall".  Outputs sum exactly (pair sums split by window).
+    At 4M particles in 3D the full ac2 j-tensor is ~6 GB x2 HLO temps —
+    the difference between fitting HBM and not."""
+    nw = 3 ** dim
+    chj = packed_j.shape[-1]
+    dummy_j = jnp.zeros((1, chj, 1, c), jnp.float32)
+    outs = sweep_fn(xi_t, dummy_j, wall_jt, wflags, dim=dim, side="wall",
+                    **kw)
+    bounds = [(i * nw) // window_chunks for i in range(window_chunks + 1)]
+    for a, b in zip(bounds, bounds[1:]):
+        xj_g = _window_jt(packed_j, nbr_inner, c, roll_y=False, dim=dim,
+                          windows=tuple(range(a, b)))
+        o = sweep_fn(xi_t, xj_g, wall_jt, wflags, dim=dim, side="inner",
+                     **kw)
+        outs = tuple(x + y for x, y in zip(outs, o))
+    return outs
+
+
 def _box_xy(box):
     """(box_x, box_y, box_z) static floats from a periodic-lengths tuple
     (0 = no wrap).  Periodic Pallas engines must park padding with
@@ -526,7 +569,8 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
                               riemann, dt, tile_c: int = 256,
                               interpret: bool = False, box=None,
                               roll_y: bool = True, dim: int = 2,
-                              wall_static: bool = False):
+                              wall_static: bool = False,
+                              window_chunks: int = 1):
     """Pallas v2 variant of acoustic_step_1st_half_b (WendlandC2, 2D/3D).
     Padding handled by FAR-parked positions (non-periodic) plus VOL = 0
     fills (required under periodic wrap)."""
@@ -543,17 +587,22 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
     c = nbr_inner.shape[0]
 
     packed_j = jnp.concatenate([pos, p[..., None], vol[..., None]], axis=-1)
-    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
     acc_prior = fb["ForcePrior"] / jnp.maximum(fb["Mass"], TINY)[..., None]
     xi_t = jnp.stack([pos[:c, :, k].T for k in range(dim)]
                      + [p[:c].T, rho[:c].T]
                      + [acc_prior[:c, :, k].T for k in range(dim)], 0)
 
-    *fs, rd = pb2.ac1_sweep_t(
-        xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
-        factor_w=kernel._factor_w(dim), inv_rho0c0=riemann.inv_rho0c0_ave,
-        tile_c=tile_c, interpret=interpret, box_x=bx, box_y=by, box_z=bz,
-        dim=dim, wall_static=wall_static, split_wall=dim == 3)
+    kw = dict(inv_h=1.0 / kernel.h, factor_w=kernel._factor_w(dim),
+              inv_rho0c0=riemann.inv_rho0c0_ave, tile_c=tile_c,
+              interpret=interpret, box_x=bx, box_y=by, box_z=bz,
+              wall_static=wall_static)
+    if window_chunks > 1:
+        *fs, rd = _chunked_sweep(pb2.ac1_sweep_t, xi_t, packed_j, nbr_inner,
+                                 c, wall_jt, wflags, dim, window_chunks, **kw)
+    else:
+        xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
+        *fs, rd = pb2.ac1_sweep_t(xi_t, xj_t, wall_jt, wflags, dim=dim,
+                                  split_wall=dim == 3, **kw)
     force = jnp.stack([f.T for f in fs], axis=-1)  # (C, CAP, dim)
     pad_v = fb["Force"][c:]
     force_total = fb["Force"] + jnp.concatenate(
@@ -573,7 +622,8 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
                               dt, tile_c: int = 256,
                               interpret: bool = False, box=None,
                               roll_y: bool = True, dim: int = 2,
-                              wall_static: bool = False):
+                              wall_static: bool = False,
+                              window_chunks: int = 1):
     """Pallas v2 variant of acoustic_step_2nd_half_b."""
     from sphinxsys_tpu.ops import pallas_block2 as pb2
     from sphinxsys_tpu.physics.riemann import (
@@ -589,7 +639,6 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
     c = nbr_inner.shape[0]
 
     packed_j = jnp.concatenate([pos, vel, vol[..., None]], axis=-1)
-    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
     xi_t = jnp.stack([pos[:c, :, k].T for k in range(dim)]
                      + [vel[:c, :, k].T for k in range(dim)], 0)
 
@@ -599,12 +648,18 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
         geo, limiter = riemann.rho0c0_geo_ave, riemann.limiter_coeff
     else:
         geo, limiter = 0.0, 1.0
-    dcr, *fs = pb2.ac2_sweep_t(
-        xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
-        factor_w=kernel._factor_w(dim), rho0c0_geo=geo,
-        inv_c0=riemann.inv_c0_ave, limiter_coeff=limiter, tile_c=tile_c,
-        interpret=interpret, box_x=bx, box_y=by, box_z=bz, dim=dim,
-        wall_static=wall_static, split_wall=dim == 3)
+    kw = dict(inv_h=1.0 / kernel.h, factor_w=kernel._factor_w(dim),
+              rho0c0_geo=geo, inv_c0=riemann.inv_c0_ave,
+              limiter_coeff=limiter, tile_c=tile_c, interpret=interpret,
+              box_x=bx, box_y=by, box_z=bz, wall_static=wall_static)
+    if window_chunks > 1:
+        dcr, *fs = _chunked_sweep(pb2.ac2_sweep_t, xi_t, packed_j, nbr_inner,
+                                  c, wall_jt, wflags, dim, window_chunks,
+                                  **kw)
+    else:
+        xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
+        dcr, *fs = pb2.ac2_sweep_t(xi_t, xj_t, wall_jt, wflags, dim=dim,
+                                   split_wall=dim == 3, **kw)
 
     force = jnp.stack([f.T for f in fs], axis=-1) * vol[:c][..., None]
     drho_dt = fb["DensityChangeRate"] + jnp.concatenate(
@@ -620,7 +675,7 @@ def density_summation_p2(fb, nbr_inner, wall_jt, wflags, kernel, rho0: float,
                          sigma0: float, tile_c: int = 256,
                          interpret: bool = False, free_surface: bool = True,
                          box=None, roll_y: bool = True, dim: int = 2,
-                         wall_static: bool = False):
+                         wall_static: bool = False, window_chunks: int = 1):
     """Pallas v2 variant of density_summation_b (inner + wall contact).
     The slot-mask channel and the W(0) self term make the sweep seed-free;
     the wall's W*V sum is converted to the reference's m_k/rho0_k
@@ -636,15 +691,18 @@ def density_summation_p2(fb, nbr_inner, wall_jt, wflags, kernel, rho0: float,
     c = nbr_inner.shape[0]
     packed_j = jnp.concatenate([pos, mask.astype(pos.dtype)[..., None]],
                                axis=-1)               # [pos, slot-mask]
-    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
     xi_t = jnp.stack([pos[:c, :, k].T for k in range(dim)], 0)
-    sig, sigw = pb2.density_sweep_t(xi_t, xj_t, wall_jt, wflags,
-                                    inv_h=1.0 / kernel.h,
-                                    factor_w=kernel._factor_w(dim),
-                                    tile_c=tile_c, interpret=interpret,
-                                    box_x=bx, box_y=by, box_z=bz, dim=dim,
-                                    wall_static=wall_static,
-                                    split_wall=dim == 3)
+    kw = dict(inv_h=1.0 / kernel.h, factor_w=kernel._factor_w(dim),
+              tile_c=tile_c, interpret=interpret, box_x=bx, box_y=by,
+              box_z=bz, wall_static=wall_static)
+    if window_chunks > 1:
+        sig, sigw = _chunked_sweep(pb2.density_sweep_t, xi_t, packed_j,
+                                   nbr_inner, c, wall_jt, wflags, dim,
+                                   window_chunks, **kw)
+    else:
+        xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
+        sig, sigw = pb2.density_sweep_t(xi_t, xj_t, wall_jt, wflags, dim=dim,
+                                        split_wall=dim == 3, **kw)
     # density_summation_b: rho_sum = (w0 + sum W) rho0/sigma0
     #                      + [sum_k W m_k/rho0_k] rho0^2/(sigma0 m_i)
     # the kernel's fluid sum counts the self pair as exactly W(0) = w0, and
@@ -775,7 +833,7 @@ def visc_tvc_p2(fb, nbr_inner, wall_jt, wflags, kernel, dim: int, mu: float,
                 tvc_limiter_slope: float | None = None, tile_c: int = 256,
                 interpret: bool = False, box=None, roll_y: bool = True,
                 do_viscous: bool = True, do_tvc: bool = True,
-                wall_static: bool = False):
+                wall_static: bool = False, window_chunks: int = 1):
     """Pallas v2 fused twin of viscous_force_b + transport_velocity_
     correction_b (one window sweep computes both; ops/pallas_block2.py
     visc_tvc_sweep_t).  Padding slots must carry VOL = 0."""
@@ -787,14 +845,20 @@ def visc_tvc_p2(fb, nbr_inner, wall_jt, wflags, kernel, dim: int, mu: float,
     c = nbr_inner.shape[0]
 
     packed_j = jnp.concatenate([pos, vel, vol[..., None]], axis=-1)
-    xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
     xi_t = jnp.stack([pos[:c, :, k].T for k in range(dim)]
                      + [vel[:c, :, k].T for k in range(dim)], 0)
-    outs = pb2.visc_tvc_sweep_t(
-        xi_t, xj_t, wall_jt, wflags, inv_h=1.0 / kernel.h,
-        factor_w=kernel._factor_w(dim), eps_r=0.01 * smoothing_length,
-        tile_c=tile_c, interpret=interpret, box_x=bx, box_y=by, box_z=bz,
-        dim=dim, wall_static=wall_static, split_wall=dim == 3)
+    kw = dict(inv_h=1.0 / kernel.h, factor_w=kernel._factor_w(dim),
+              eps_r=0.01 * smoothing_length, tile_c=tile_c,
+              interpret=interpret, box_x=bx, box_y=by, box_z=bz,
+              wall_static=wall_static)
+    if window_chunks > 1:
+        outs = _chunked_sweep(pb2.visc_tvc_sweep_t, xi_t, packed_j,
+                              nbr_inner, c, wall_jt, wflags, dim,
+                              window_chunks, **kw)
+    else:
+        xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
+        outs = pb2.visc_tvc_sweep_t(xi_t, xj_t, wall_jt, wflags, dim=dim,
+                                    split_wall=dim == 3, **kw)
     fvs, ivs = outs[:dim], outs[dim:]
 
     out = dict(fb)
