@@ -1,14 +1,19 @@
 """Production MR-cylinder drag validation vs the reference's
 Cylinder_TotalViscousForceFromFluid DTW databases (steady band
 0.30-0.38 after the wake develops).  Run:
-  PYTHONPATH=/root/repo MRC_TEND=30 python benchmarks/run_mr_cylinder_validation.py
-Status (round 3): the viscous drag levels at ~0.7-0.8 by t=12 (CPU run,
-pre-ramp-fix startup) vs the reference band 0.30-0.38 — a systematic ~2x
-the reference despite a healthy flow core (near-cylinder vmax ~ 1.1 U)
-and a formula-identical observable (ViscousForceFromFluid verified line
-by line).  Open calibration items: the unrelaxed lattice start (first
-fluid ring rho 0.81 at init) and the near-wall velocity-gradient model
-at 10 cells/radius.  Round-4 item.
+  PYTHONPATH=/root/repo:/root/.axon_site MRC_PLATFORM=axon MRC_TEND=30 \
+    python benchmarks/run_mr_cylinder_validation.py
+
+Status (round 4): RESOLVED — steady viscous drag 0.3077 +- 0.0141 over
+t = 21..30 (TPU, relaxed IC), inside the reference band.  The round-3
+~2x miss was NOT a resolution/IC issue: the startup body force OVERWROTE
+ForcePrior every advection step, which cancelled the viscous prior force
+down to its per-step delta (near-inviscid momentum equation -> near-wall
+slip -> 2.3x the measured drag).  Fixed by the BaseForcePrior delta
+convention (cases/mr_cylinder_2d.py _startup_force, physics/general.py
+gravity_force).  The curve is committed at
+tests/golden/mr_cylinder/drag_tpu_r4.npy and band-gated in CI
+(tests/test_mr_cylinder.py).
 """
 import os
 import time

@@ -260,8 +260,9 @@ def build_case(dx: float = DX_REF, dtype=jnp.float32, reserve: float = 0.3,
     fluid["PreviousSurfaceIndicator"] = jnp.ones(cap_f, jnp.int32)
     fluid["PositionDivergence"] = jnp.zeros(cap_f, dtype)
     # startup body force U_f/t_ref ramp (StartupAcceleration): applied as a
-    # time-dependent ForcePrior inside the step
+    # time-dependent ForcePrior inside the step (delta convention)
     fluid["ForcePrior"] = zeros_v
+    fluid["StartupForcePrev"] = zeros_v
 
     # cylinder wall body at dx/4 (defineAdaptationRatios(1.15, 4.0));
     # its TABLE level is the fine fluid level (pair h is the fluid's)
@@ -375,8 +376,16 @@ def _startup_force(fluid, t):
                   0.0)
     force = jnp.stack([a * fluid["Mass"],
                        jnp.zeros_like(fluid["Mass"])], axis=-1)
+    force = jnp.where(fluid["Alive"][:, None], force, 0.0)
     out = dict(fluid)
-    out["ForcePrior"] = jnp.where(fluid["Alive"][:, None], force, 0.0)
+    # BaseForcePrior delta convention (force_prior.hpp): an OVERWRITE here
+    # clobbers the viscous force folded into ForcePrior by the previous
+    # advection step, reducing the effective viscosity in the momentum
+    # equation to the per-step viscous DELTA (~0) — measured as near-wall
+    # slip and a steady viscous drag 2.3x the reference DB band (the
+    # round-3/4 "2x drag" root cause).
+    out["ForcePrior"] = fluid["ForcePrior"] + force - fluid["StartupForcePrev"]
+    out["StartupForcePrev"] = force
     return out
 
 
@@ -442,7 +451,8 @@ def _advection_step(case: MRCylCase, s: MRCylSim) -> MRCylSim:
         fluid, case.emitter,
         fields=bd._PARTICLE_FIELDS_HINT + ("SmoothingLengthRatio",
                                            "ViscousForce",
-                                           "ViscousForcePrev", "Indicator",
+                                           "ViscousForcePrev",
+                                           "StartupForcePrev", "Indicator",
                                            "PreviousSurfaceIndicator",
                                            "PositionDivergence"),
         prev_pos=pos_prev)

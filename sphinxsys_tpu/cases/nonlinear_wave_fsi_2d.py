@@ -200,6 +200,9 @@ def build_case(dx: float = DX_REF, dtype=jnp.float32, cell_cap: int = 24,
     n = fluid["Position"].shape[0]
     fluid["ViscousForce"] = jnp.zeros((n, 2), dtype)
     fluid["ViscousForcePrev"] = jnp.zeros((n, 2), dtype)
+    # opt into gravity_force's BaseForcePrior delta form (coexists with
+    # the viscous prior force; see physics/general.py gravity_force)
+    fluid["GravityForcePrev"] = jnp.zeros((n, 2), dtype)
     fluid["LinearGradientCorrectionMatrix"] = jnp.broadcast_to(
         jnp.eye(2, dtype=dtype), (n, 2, 2))
 

@@ -176,6 +176,9 @@ def build_case(dx: float = FLAP_WIDTH / 4.0, dtype=jnp.float32,
     n = fluid["Position"].shape[0]
     fluid["ViscousForce"] = jnp.zeros((n, 2), dtype)
     fluid["ViscousForcePrev"] = jnp.zeros((n, 2), dtype)
+    # opt into gravity_force's BaseForcePrior delta form (coexists with
+    # the viscous prior force; see physics/general.py gravity_force)
+    fluid["GravityForcePrev"] = jnp.zeros((n, 2), dtype)
 
     wall = dict(make_solid_state(pos_w, vol, RHO0_F, dtype=dtype))
     wall = gd.normal_direction_from_shape(wall, wall_shape)

@@ -150,6 +150,9 @@ def build_case(dx: float = L / 20.0, dtype=jnp.float32, cell_cap: int = 24,
     n = fluid["Position"].shape[0]
     fluid["ViscousForce"] = jnp.zeros((n, 2), dtype)
     fluid["ViscousForcePrev"] = jnp.zeros((n, 2), dtype)
+    # opt into gravity_force's BaseForcePrior delta form (coexists with
+    # the viscous prior force; see physics/general.py gravity_force)
+    fluid["GravityForcePrev"] = jnp.zeros((n, 2), dtype)
 
     grid = grid_from_bounds(dom_lo, dom_hi, adaptation.cutoff)
     wall_table = jax.jit(partial(build_cell_table, grid=grid, cap=cell_cap))(

@@ -130,6 +130,9 @@ def build_case(dx: float = 2.0 * R_CYL / 40.0, dtype=jnp.float32,
     zeros_v = jnp.zeros_like(fluid["Position"])
     fluid["ViscousForce"] = zeros_v
     fluid["ViscousForcePrev"] = zeros_v
+    # opt into gravity_force's BaseForcePrior delta form (coexists with
+    # the viscous prior force; see physics/general.py gravity_force)
+    fluid["GravityForcePrev"] = zeros_v
     fluid["Indicator"] = jnp.zeros((len(pos_f),), jnp.int32)
     fluid["PreviousSurfaceIndicator"] = jnp.ones((len(pos_f),), jnp.int32)
     fluid["PositionDivergence"] = jnp.zeros((len(pos_f),), dtype)

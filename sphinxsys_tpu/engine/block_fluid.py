@@ -266,9 +266,13 @@ def acoustic_dt(eng: BlockEngine, fb, dt_adv=None):
     return dt
 
 
-def acoustic_step(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt):
+def acoustic_step(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt,
+                  between=None):
     """Both half-steps of the pressure/density relaxation
-    (fluid_integration.hpp; physics/fluid_blocks.py for the math)."""
+    (fluid_integration.hpp; physics/fluid_blocks.py for the math).
+    `between` (optional, fb -> fb) runs between the halves — the
+    distributed wrapper re-exchanges ghost values there (the 2nd half
+    reads the 1st half's velocities)."""
     if eng.use_pallas:
         fb = fbops.acoustic_step_1st_half_p2(
             fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.eos,
@@ -276,6 +280,8 @@ def acoustic_step(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt):
             interpret=eng.pallas_interpret, box=eng.box, roll_y=eng.roll_y,
             dim=eng.dim, wall_static=eng.wall_static,
             window_chunks=eng.window_chunks)
+        if between is not None:
+            fb = between(fb)
         fb = fbops.acoustic_step_2nd_half_p2(
             fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.riemann2,
             dt, tile_c=eng.tile_c, interpret=eng.pallas_interpret,
@@ -289,6 +295,8 @@ def acoustic_step(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt):
     fb = fbops.acoustic_step_1st_half_b(
         fb, nbr_inner, eng.kernel, eng.dim, eng.eos, eng.riemann1, dt,
         wall_b=wall_b, nbr_wall=nbr_w, box=eng.box)
+    if between is not None:
+        fb = between(fb)
     fb = fbops.acoustic_step_2nd_half_b(
         fb, nbr_inner, eng.kernel, eng.dim, eng.riemann2, dt,
         wall_b=wall_b, nbr_wall=nbr_w, box=eng.box)

@@ -33,10 +33,27 @@ class Gravity:
 
 
 def gravity_force(state: State, gravity: Gravity) -> State:
-    """SimpleDynamics<GravityForce<Gravity>>: ForcePrior = m * g."""
+    """SimpleDynamics<GravityForce<Gravity>>.
+
+    The reference's GravityForce is a BaseForcePrior (force_prior.hpp):
+    ForcePrior += F_new - F_prev, so per-step gravity COEXISTS with other
+    prior-force producers (viscous/TVC/TKE) that fold their own deltas
+    into ForcePrior.  States that carry other prior forces must seed a
+    "GravityForcePrev" channel (zeros) at init to opt into the delta
+    form; without it this falls back to the overwrite form
+    ForcePrior = m g, which is only correct when gravity is the SOLE
+    producer (plain dambreak-class cases) — an overwrite silently
+    cancels any accumulated viscous force down to its per-step delta
+    (the round-4 MR-cylinder 2x-drag root cause)."""
     out = dict(state)
     g = gravity.induced_acceleration().astype(state["Position"].dtype)
-    out["ForcePrior"] = state["Mass"][:, None] * g[None, :]
+    force = state["Mass"][:, None] * g[None, :]
+    prev = state.get("GravityForcePrev")
+    if prev is None:
+        out["ForcePrior"] = force
+    else:
+        out["ForcePrior"] = state["ForcePrior"] + force - prev
+        out["GravityForcePrev"] = force
     return out
 
 

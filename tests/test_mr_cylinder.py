@@ -44,3 +44,28 @@ def test_mr_cylinder_startup_physics():
     assert np.all(np.abs(hr[deep] - 2.0) < 1e-6)
     outside = (pos[:, 1] < 4.0) | (pos[:, 1] > 12.0)
     assert np.all(np.abs(hr[outside] - 1.0) < 1e-6)
+
+
+def test_mr_cylinder_drag_vs_reference_band():
+    """The committed TPU production run (benchmarks/
+    run_mr_cylinder_validation.py, t = 0..30, relaxed IC) must sit inside
+    the reference's Cylinder_TotalViscousForceFromFluid DTW band: all three
+    committed reference runs settle in 0.30-0.38 after the wake develops
+    (regression_test_tool/Cylinder_TotalViscousForceFromFluid_Run_*.xml,
+    snapshots 2-42: min 0.2965, max 0.3807).  Root cause of the round-3
+    2x miss: the case's startup body force OVERWROTE ForcePrior each
+    advection step, cancelling the viscous prior force down to its
+    per-step delta (see cases/mr_cylinder_2d.py _startup_force) — with the
+    BaseForcePrior delta convention restored the measured tail is
+    0.308 +- 0.014.  The curve is regenerated on TPU each round (round
+    checklist) — this gate catches drift in the committed artifact."""
+    hist = np.load("tests/golden/mr_cylinder/drag_tpu_r4.npy")
+    t, fx, fy = hist[:, 0], hist[:, 1], hist[:, 2]
+    assert t[-1] >= 29.0
+    tail = fx[t > 12.0]
+    # every post-development snapshot inside a slightly padded band (the
+    # reference runs' own snapshot extremes are 0.2965/0.3807)
+    assert tail.min() > 0.27 and tail.max() < 0.41
+    assert 0.30 <= tail.mean() <= 0.38
+    # lift stays two orders below drag (the reference's stated property)
+    assert np.abs(fy[t > 12.0]).mean() < 0.1 * tail.mean()
