@@ -63,6 +63,7 @@ class LevelSet:
     phi: Any                 # (P+2,) + (PKG,)*dim
     kernel_w: Any | None = None
     kernel_gw: Any | None = None
+    kernel_g2w: Any | None = None
 
     @property
     def dim(self) -> int:
@@ -148,6 +149,16 @@ class LevelSet:
     def probe_kernel_gradient_integral(self, pts):
         return self._multilinear(self.kernel_gw, pts)
 
+    def probe_kernel_second_gradient_integral(self, pts):
+        """computeKernelSecondGradientIntegral probe: (…, dim, dim) matrix
+        integral of d2W(r) e e^T over the positive-phi region
+        (level_set_transformation.hpp:128-138)."""
+        dim = self.dim
+        g2 = self.kernel_g2w.reshape(self.kernel_g2w.shape[:1 + dim]
+                                     + (dim * dim,))
+        out = self._multilinear(g2, pts)
+        return out.reshape(out.shape[:-1] + (dim, dim))
+
     # -- mesh dynamics --------------------------------------------------
     def _shift(self, h, axis, off):
         """Center package of the halo shifted by `off` cells along `axis`."""
@@ -223,6 +234,7 @@ class LevelSet:
         phi_c = h[(slice(None),) + _center_slices(dim, (0,) * dim)]
         wsum = jnp.zeros_like(phi_c)
         gsum = jnp.zeros(phi_c.shape + (dim,), phi_c.dtype)
+        g2sum = jnp.zeros(phi_c.shape + (dim, dim), phi_c.dtype)
         offs = [o for o in itertools.product(range(-m, m + 1), repeat=dim)
                 if sum(c * c for c in o) <= (cutoff + 1e-9) ** 2]
         for off in offs:
@@ -244,16 +256,24 @@ class LevelSet:
                                 phi_c.dtype)
                 dw = float(kernel.dW(jnp.asarray(r), dim))
                 gsum = gsum + (dw * frac)[..., None] * e
+                d2w = float(kernel.d2W(jnp.asarray(r), dim))
+                ee = np.outer(np.asarray(e), np.asarray(e))
+                g2sum = g2sum + (d2w * frac)[..., None, None] \
+                    * jnp.asarray(ee, phi_c.dtype)
         scale = dx ** dim
         deep = phi_c > cutoff * dx
         kw = jnp.where(deep, 1.0, wsum * scale)
         kg = jnp.where(deep[..., None], 0.0, gsum * scale)
+        kg2 = jnp.where(deep[..., None, None], 0.0, g2sum * scale)
         pad = jnp.zeros((2,) + kw.shape[1:], kw.dtype)
         padg = jnp.zeros((2,) + kg.shape[1:], kg.dtype)
+        padg2 = jnp.zeros((2,) + kg2.shape[1:], kg2.dtype)
         # far-field positive package: full support in positive region
         kw_full = jnp.concatenate([kw, pad.at[0].set(1.0)], axis=0)
         kg_full = jnp.concatenate([kg, padg], axis=0)
-        return dataclasses.replace(self, kernel_w=kw_full, kernel_gw=kg_full)
+        kg2_full = jnp.concatenate([kg2, padg2], axis=0)
+        return dataclasses.replace(self, kernel_w=kw_full, kernel_gw=kg_full,
+                                   kernel_g2w=kg2_full)
 
     def clean_interface(self, repeat: int = 2) -> "LevelSet":
         """cleanInterface (level_set.h:62): re-distance the field around

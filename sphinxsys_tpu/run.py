@@ -359,6 +359,50 @@ def _run_vp_optimization(cfg: RunConfig):
 
 CASES["vp_heat_flux_2d"] = _run_vp_optimization
 
+CASES["three_ring_impact_2d"] = _run_single_fluid(
+    "three_ring_impact_2d",
+    lambda c, s: {"RingL": s.ring_l, "RingM": s.ring_m, "RingS": s.ring_s},
+    t_end=0.2)
+
+
+def _run_implicit_relaxation(cfg: RunConfig):
+    """test_2d_implicit_relaxation: relax the turbine blade with the
+    implicit level-set-corrected step; writes the relaxed distribution."""
+    from sphinxsys_tpu.cases import implicit_relaxation_2d as ir
+    p = dict(cfg.parameters)
+    n_it = int(p.pop("n_iterations", 1000))
+    pos, curve, _ = ir.run_case(n_iterations=n_it, **p)
+    for m, v in enumerate(np.asarray(curve)):
+        log.info("ite %d: avg |residual| = %.6f", (m + 1) * (n_it // len(curve)), v)
+    if cfg.state_recording:
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        body = {"Position": np.asarray(pos), "NReal": len(np.asarray(pos))}
+        write_vtp(os.path.join(cfg.output_dir, "Body_relaxed.vtp"), body, [])
+    return pos, curve
+
+
+CASES["implicit_relaxation_2d"] = _run_implicit_relaxation
+
+
+def _run_shell_relaxation(cfg: RunConfig):
+    """test_2d_shell_particle_relaxation: relax thin-pipe particles onto the
+    mid-surface and predict consistent normals; writes the relaxed shell."""
+    from sphinxsys_tpu.cases import shell_relaxation_2d as sr
+    p = dict(cfg.parameters)
+    n_it = int(p.pop("n_iterations", 2000))
+    pos, normals, updated = sr.run_case(n_iterations=n_it, **p)
+    log.info("normal flood fill complete: %s", bool(np.asarray(updated).all()))
+    if cfg.state_recording:
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        body = {"Position": np.asarray(pos), "NReal": len(np.asarray(pos)),
+                "NormalDirection": np.asarray(normals)}
+        write_vtp(os.path.join(cfg.output_dir, "Shell_relaxed.vtp"), body,
+                  ["NormalDirection"])
+    return pos, normals
+
+
+CASES["shell_relaxation_2d"] = _run_shell_relaxation
+
 
 def main(argv=None):
     import sys
