@@ -359,6 +359,15 @@ def _run_vp_optimization(cfg: RunConfig):
 
 CASES["vp_heat_flux_2d"] = _run_vp_optimization
 
+CASES["solid_shell_coupling_3d"] = _run_single_fluid(
+    "solid_shell_coupling_3d",
+    lambda c, s: {"Cube": s.cube, "Shell": s.shell}, t_end=40.0)
+
+CASES["droplet_impact_2d"] = _run_single_fluid(
+    "droplet_impact_2d",
+    lambda c, s: {"WaterBody": s.water, "AirBody": s.air, "WallBoundary": c.wall},
+    t_end=0.2)
+
 CASES["three_ring_impact_2d"] = _run_single_fluid(
     "three_ring_impact_2d",
     lambda c, s: {"RingL": s.ring_l, "RingM": s.ring_m, "RingS": s.ring_s},
