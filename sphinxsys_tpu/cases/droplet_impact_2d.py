@@ -1,32 +1,36 @@
-"""2D square droplet rounding under surface tension.
+"""2D liquid droplet impacting a solid floor (wetting/spreading family).
 
-Counterpart of /root/reference/tests/2d_examples/test_2d_square_droplet/
-2d_square_droplet.cpp: a 1x1 water square (rho=1) suspended in a 1000x
-lighter air phase inside a closed 2x2 box deforms toward a circle under
-the momentum-conservative stress-form surface tension
-(physics/surface_tension.py).  Both phases are weakly compressible with
-the same numerical sound speed (c = 10 U_ref):
+Counterpart of /root/reference/tests/2d_examples/test_2d_droplet_impact/
+2d_droplet_impact.{h,cpp}: a radius-0.5 water droplet (rho=1) tangent to
+the floor of a 5 x 1.5 closed tank filled with 1000x lighter air is given
+a uniform downward velocity U_ref = 5 and impacts/spreads on the wall
+(Re = 1000, We = 250).  The reference models wetting purely through the
+multiphase momentum exchange — there is NO contact-angle wall term: walls
+enter through the standard wall-Riemann summation/pressure/viscous
+channels while surface tension acts only on the water<->air interface via
+the momentum-conservative stress form (SurfaceTensionStress +
+SurfaceStressForceComplex, 2d_droplet_impact.cpp:131-134).
 
-  * plain density summation for both phases with {other phase, wall}
-    contacts (BaseDensitySummationComplex<Inner, Contact, Contact>);
-  * AllParticles multi-phase transport-velocity correction for both;
-  * MultiPhaseViscousForceWithWall: inner + harmonic-mu other-phase
-    contact + wall;
-  * surface-tension stress from the other-phase contact, stress force
-    from {inner, other-phase contact}, recomputed every acoustic substep
-    (2d_square_droplet.cpp:221-227);
-  * acoustic dt floored by the capillary wave speed
-    (SurfaceTensionTimeStep, CFL 0.6); advection dt with viscous CFL 0.1.
+Composition = cases/square_droplet_2d.py with the impact geometry/material
+numbers (2d_droplet_impact.h:12-30):
 
-Both phases advance on the SHARED min dt inside one jitted loop (same
-deviation as cases/two_phase_dambreak_2d.py — identical physics at the
-shared smaller step, one trace).
+  * both phases weakly compressible, shared c = 10 U_ref = 50;
+  * mu_w = 5e-3, mu_a = 5e-5 (pair-harmonic at the interface), sigma = 0.1;
+  * droplet initial velocity (0, -U_ref) (InitialCondition::update);
+  * AdvectionViscousTimeStep(U_ref, 0.1); SurfaceTensionTimeStep CFL 0.6;
+    surface-tension stress+force recomputed every acoustic substep;
+  * observable: water-phase total kinetic energy (sum 1/2 m v^2), the
+    regression DB quantity (WaterBody_TotalKineticEnergy, 50 snapshots
+    over end_time 0.2).
+
+Deviation (shared with the other two-phase cases): both phases advance on
+the shared min acoustic dt inside one jitted loop — identical physics at
+the smaller step, one trace.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import Any, NamedTuple
 
@@ -38,27 +42,28 @@ from sphinxsys_tpu.core.adaptation import SPHAdaptation
 from sphinxsys_tpu.core.generators import generate_lattice
 from sphinxsys_tpu.core.materials import WeaklyCompressibleFluid
 from sphinxsys_tpu.core.state import State, make_fluid_state, make_solid_state
-from sphinxsys_tpu.neighbors import grid_from_bounds, build_cell_table, build_neighbor_list
+from sphinxsys_tpu.neighbors import (build_cell_table, build_neighbor_list,
+                                     grid_from_bounds)
 from sphinxsys_tpu.physics import fluid as fd
 from sphinxsys_tpu.physics import general as gd
 from sphinxsys_tpu.physics import riemann as rs
 from sphinxsys_tpu.physics import surface_tension as st
 
-# 2d_square_droplet.cpp:14-29
-DL = 2.0
-DH = 2.0
-LL = 1.0
-LH = 1.0
+# 2d_droplet_impact.h:12-30
+RADIUS = 0.5
+DL = 10.0 * RADIUS
+DH = 3.0 * RADIUS
 RHO0_F = 1.0
-RHO0_A = 0.001
-U_REF = 1.0
+RHO0_A = 1.0e-3
+U_REF = 5.0
 C_F = 10.0 * U_REF
-MU_F = 5.0e-2
-MU_A = 5.0e-4
-SIGMA = 1.0                     # surface_tension_coeff
-MU_WA = 2.0 * MU_F * MU_A / (MU_F + MU_A)   # pair-harmonic (FixedViscosity)
+MU_F = 5.0e-3
+MU_A = 5.0e-5
+SIGMA = 0.1
+MU_WA = 2.0 * MU_F * MU_A / (MU_F + MU_A)
 FRAC_W = st.contact_fraction(RHO0_F, RHO0_A)
 FRAC_A = st.contact_fraction(RHO0_A, RHO0_F)
+END_TIME = 0.2
 
 
 class SimState(NamedTuple):
@@ -76,7 +81,7 @@ class SimState(NamedTuple):
 
 
 @dataclasses.dataclass(frozen=True)
-class DropletCase:
+class DropletImpactCase:
     dx: float
     adaptation: SPHAdaptation
     grid: Any
@@ -99,38 +104,38 @@ class DropletCase:
         return self.adaptation.kernel
 
 
-def build_case(dx: float = DL / 50.0, dtype=jnp.float32, cell_cap: int = 24,
-               k_inner: int = 48, k_contact: int = 32):
+def build_case(dx: float = RADIUS / 20.0, dtype=jnp.float32,
+               cell_cap: int = 24, k_inner: int = 48, k_contact: int = 32):
     bw = 4 * dx
     adaptation = SPHAdaptation(spacing=dx, dim=2)
 
-    # boxes centered at the origin (2d_square_droplet.cpp:33-42)
-    droplet = G.Box(G.Transform(translation=(0.0, 0.0)),
-                    halfsize=(LL / 2, LH / 2))
-    inner = G.Box(G.Transform(translation=(0.0, 0.0)),
+    droplet = G.Ball(center=(DL / 2.0, RADIUS), radius=RADIUS)
+    inner = G.Box(G.Transform(translation=(DL / 2, DH / 2)),
                   halfsize=(DL / 2, DH / 2))
     air_shape = G.make_complex(("add", inner), ("sub", droplet))
-    outer = G.Box(G.Transform(translation=(0.0, 0.0)),
+    outer = G.Box(G.Transform(translation=(DL / 2, DH / 2)),
                   halfsize=(DL / 2 + bw, DH / 2 + bw))
     wall_shape = G.make_complex(("add", outer), ("sub", inner))
 
-    dom_lo = (-DL / 2 - bw, -DH / 2 - bw)
-    dom_hi = (DL / 2 + bw, DH / 2 + bw)
+    dom_lo = (-bw, -bw)
+    dom_hi = (DL + bw, DH + bw)
     pos_w, vol = generate_lattice(droplet, dom_lo, dom_hi, dx)
     pos_a, _ = generate_lattice(air_shape, dom_lo, dom_hi, dx)
     pos_b, _ = generate_lattice(wall_shape, dom_lo, dom_hi, dx)
 
     water = make_fluid_state(pos_w, vol, RHO0_F, dtype=dtype)
+    # droplet initial velocity (InitialCondition, 2d_droplet_impact.h:81-93)
+    water["Velocity"] = water["Velocity"].at[:, 1].set(-U_REF)
     air = make_fluid_state(pos_a, vol, RHO0_A, dtype=dtype)
-    for st_state in (water, air):      # pre-register surface-tension fields
-        n = st_state["Position"].shape[0]
-        st_state["ColorGradient"] = jnp.zeros((n, 2), dtype)
-        st_state["NormDirection"] = jnp.zeros((n, 2), dtype)
-        st_state["SurfaceTensionStress"] = jnp.zeros((n, 2, 2), dtype)
-        st_state["SurfaceTensionForce"] = jnp.zeros((n, 2), dtype)
-        st_state["SurfaceTensionForcePrev"] = jnp.zeros((n, 2), dtype)
-        st_state["ViscousForce"] = jnp.zeros((n, 2), dtype)
-        st_state["ViscousForcePrev"] = jnp.zeros((n, 2), dtype)
+    for ph in (water, air):
+        n = ph["Position"].shape[0]
+        ph["ColorGradient"] = jnp.zeros((n, 2), dtype)
+        ph["NormDirection"] = jnp.zeros((n, 2), dtype)
+        ph["SurfaceTensionStress"] = jnp.zeros((n, 2, 2), dtype)
+        ph["SurfaceTensionForce"] = jnp.zeros((n, 2), dtype)
+        ph["SurfaceTensionForcePrev"] = jnp.zeros((n, 2), dtype)
+        ph["ViscousForce"] = jnp.zeros((n, 2), dtype)
+        ph["ViscousForcePrev"] = jnp.zeros((n, 2), dtype)
     wall = make_solid_state(pos_b, vol, RHO0_F, dtype=dtype)
     wall = gd.normal_direction_from_shape(wall, wall_shape)
 
@@ -141,7 +146,7 @@ def build_case(dx: float = DL / 50.0, dtype=jnp.float32, cell_cap: int = 24,
     wall_table = jax.jit(partial(build_cell_table, grid=grid, cap=cell_cap))(
         wall["Position"], wall["NReal"])
 
-    case = DropletCase(
+    case = DropletImpactCase(
         dx=dx, adaptation=adaptation, grid=grid, eos_w=eos_w, eos_a=eos_a,
         rs_w=rs.acoustic_riemann(eos_w), rs_a=rs.acoustic_riemann(eos_a),
         rs_wa=rs.acoustic_riemann(eos_w, eos_a),
@@ -151,7 +156,7 @@ def build_case(dx: float = DL / 50.0, dtype=jnp.float32, cell_cap: int = 24,
     return case, water, air
 
 
-def rebuild(case: DropletCase, water: State, air: State):
+def rebuild(case: DropletImpactCase, water: State, air: State):
     cutoff = case.adaptation.cutoff
     nl = partial(build_neighbor_list, grid=case.grid, cutoff=cutoff)
     tw = build_cell_table(water["Position"], water["NReal"], case.grid,
@@ -177,20 +182,19 @@ def rebuild(case: DropletCase, water: State, air: State):
     return nl_ww, nl_wa, nl_wb, nl_aa, nl_aw, nl_ab, ovf
 
 
-def init_sim(case: DropletCase, water: State, air: State) -> SimState:
+def init_sim(case: DropletImpactCase, water: State, air: State) -> SimState:
     nls = jax.jit(partial(rebuild, case))(water, air)
     dtype = water["Position"].dtype
     return SimState(water, air, *nls[:-1], time=jnp.zeros((), dtype),
                     n_adv=jnp.zeros((), jnp.int32), overflow=nls[-1])
 
 
-def _advection_step(case: DropletCase, s: SimState) -> SimState:
+def _advection_step(case: DropletImpactCase, s: SimState) -> SimState:
     kernel, dim = case.kernel, 2
     h = case.adaptation.h
     sigma0 = case.adaptation.sigma0
     water, air = s.water, s.air
 
-    # AdvectionViscousTimeStep(U_ref, 0.1) for both phases
     dt_adv = jnp.minimum(
         fd.advection_viscous_time_step(water, h, U_REF, RHO0_F, MU_F, cfl=0.1),
         fd.advection_viscous_time_step(air, h, U_REF, RHO0_A, MU_A, cfl=0.1))
@@ -223,8 +227,6 @@ def _advection_step(case: DropletCase, s: SimState) -> SimState:
 
     def ac_body(carry):
         w, a, rt = carry
-        # surface tension stress + force EVERY substep
-        # (2d_square_droplet.cpp:221-227)
         w = st.surface_tension_stress(w, [(a, s.nl_wa, FRAC_W)], kernel, dim,
                                       SIGMA)
         a = st.surface_tension_stress(a, [(w, s.nl_aw, FRAC_A)], kernel, dim,
@@ -262,7 +264,7 @@ def _advection_step(case: DropletCase, s: SimState) -> SimState:
                     n_adv=s.n_adv + 1, overflow=s.overflow | nls[-1])
 
 
-def make_run_chunk(case: DropletCase):
+def make_run_chunk(case: DropletImpactCase):
     @jax.jit
     def run_chunk(s: SimState, t_target) -> SimState:
         return jax.lax.while_loop(lambda st_: st_.time < t_target,
@@ -272,20 +274,8 @@ def make_run_chunk(case: DropletCase):
 
 
 def water_kinetic_energy(s: SimState) -> float:
-    """WaterBody TotalKineticEnergy (the regression-DB quantity)."""
+    """WaterBody TotalKineticEnergy = sum 1/2 m |v|^2 (the regression DB
+    quantity)."""
     w = s.water
-    n = w["Position"].shape[0]
-    valid = jnp.arange(n) < w["NReal"]
-    ke = 0.5 * w["Mass"] * jnp.sum(w["Velocity"] ** 2, axis=-1)
-    return float(jnp.sum(jnp.where(valid, ke, 0.0)))
-
-
-def water_max_radius(s: SimState) -> float:
-    """Largest droplet-particle distance from the origin — decreases from
-    the square's corner radius ~0.687 toward the equal-area circle 0.564
-    as surface tension rounds the droplet."""
-    w = s.water
-    n = w["Position"].shape[0]
-    valid = jnp.arange(n) < w["NReal"]
-    r = jnp.linalg.norm(w["Position"], axis=-1)
-    return float(jnp.max(jnp.where(valid, r, 0.0)))
+    return float(jnp.sum(
+        0.5 * w["Mass"] * jnp.sum(w["Velocity"] ** 2, axis=-1)))

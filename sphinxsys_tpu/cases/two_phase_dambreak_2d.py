@@ -70,7 +70,8 @@ class TwoPhaseCase:
     eos_a: WeaklyCompressibleFluid
     rs_w: rs.AcousticRiemannSolver      # water inner
     rs_a: rs.AcousticRiemannSolver      # air inner
-    rs_wa: rs.AcousticRiemannSolver     # cross-phase
+    rs_wa: rs.AcousticRiemannSolver     # cross-phase, water-side (water, air)
+    rs_aw: rs.AcousticRiemannSolver     # cross-phase, air-side (air, water)
     wall: State
     wall_table: Any
     n_water: int
@@ -121,7 +122,8 @@ def build_case(dx: float = 0.05, dtype=jnp.float32, cell_cap: int = 24,
     case = TwoPhaseCase(
         dx=dx, adaptation=adaptation, grid=grid, eos_w=eos_w, eos_a=eos_a,
         rs_w=rs.acoustic_riemann(eos_w), rs_a=rs.acoustic_riemann(eos_a),
-        rs_wa=rs.acoustic_riemann(eos_w, eos_a), wall=wall,
+        rs_wa=rs.acoustic_riemann(eos_w, eos_a),
+        rs_aw=rs.acoustic_riemann(eos_a, eos_w), wall=wall,
         wall_table=wall_table, n_water=len(pos_w), n_air=len(pos_a),
         cell_cap=cell_cap, k_inner=k_inner, k_contact=k_contact)
     return case, water, air
@@ -203,13 +205,13 @@ def _advection_step(case: TwoPhaseCase, s: SimState) -> SimState:
                                        contacts=[(a, s.nl_wa, case.rs_wa)])
         a1 = fd.acoustic_step_1st_half(a, s.nl_aa, kernel, dim, case.eos_a,
                                        case.rs_a, dt, walls=walls_a,
-                                       contacts=[(w, s.nl_aw, case.rs_wa)])
+                                       contacts=[(w, s.nl_aw, case.rs_aw)])
         w2 = fd.acoustic_step_2nd_half(w1, s.nl_ww, kernel, dim, case.rs_w,
                                        dt, walls=walls_w,
                                        contacts=[(a1, s.nl_wa, case.rs_wa)])
         a2 = fd.acoustic_step_2nd_half(a1, s.nl_aa, kernel, dim, case.rs_a,
                                        dt, walls=walls_a,
-                                       contacts=[(w1, s.nl_aw, case.rs_wa)])
+                                       contacts=[(w1, s.nl_aw, case.rs_aw)])
         return (w2, a2, rt + dt)
 
     water, air, relax_t = jax.lax.while_loop(

@@ -363,6 +363,9 @@ CASES["solid_shell_coupling_3d"] = _run_single_fluid(
     "solid_shell_coupling_3d",
     lambda c, s: {"Cube": s.cube, "Shell": s.shell}, t_end=40.0)
 
+CASES["roof_3d"] = _run_single_fluid(
+    "roof_3d", lambda c, s: {"CylinderBody": s.shell}, t_end=2.0)
+
 CASES["droplet_impact_2d"] = _run_single_fluid(
     "droplet_impact_2d",
     lambda c, s: {"WaterBody": s.water, "AirBody": s.air, "WallBoundary": c.wall},
