@@ -65,6 +65,36 @@ class DirectionalDiffusion:
         return self.d_coeff + self.bias_coeff
 
 
+@dataclasses.dataclass(frozen=True)
+class LocalDirectionalDiffusion:
+    """Diffusion biased along a PER-PARTICLE fiber field
+    (LocalDirectionalDiffusion, materials/diffusion_reaction.h:212-242):
+    D_i = d I + d_bias f_i f_i^T.  The reference averages the two
+    particles' inverse-Cholesky transforms and returns
+    1/|T_avg e|^2; for SPD D both conventions agree to discretization
+    order — here the pair coefficient is the mean of the two sides'
+    quadratic forms: d + 0.5 d_bias ((e.f_i)^2 + (e.f_j)^2).
+
+    `fiber_key` names the per-particle direction array in the state;
+    diffusion_step gathers it when the diffusion object carries this
+    attribute."""
+
+    d_coeff: float
+    bias_coeff: float
+    fiber_key: str = "Fiber"
+
+    def inter_particle_coeff(self, e_ij, fiber_i=None, fiber_j=None):
+        if fiber_i is None:
+            return self.d_coeff + 0.5 * self.bias_coeff
+        pi = jnp.sum(e_ij * fiber_i[:, None, :], axis=-1)
+        pj = jnp.sum(e_ij * fiber_j, axis=-1)
+        return self.d_coeff + 0.5 * self.bias_coeff * (pi * pi + pj * pj)
+
+    @property
+    def reference_diffusivity(self) -> float:
+        return self.d_coeff + self.bias_coeff
+
+
 def diffusion_time_step(h: float, diffusion, dim: int) -> float:
     """dt = 0.5 h^2 / d / dim (diffusion_reaction.cpp:16-19)."""
     return 0.5 * h * h / diffusion.reference_diffusivity / dim
@@ -76,7 +106,8 @@ def diffusion_time_step(h: float, diffusion, dim: int) -> float:
 
 def diffusion_rate(pos_q, species_q, vol_s, pos_s, species_s, nl: NeighborList,
                    kernel, dim: int, diffusion, box=None, B_q=None, B_s=None,
-                   local_diff_q=None, local_diff_s=None):
+                   local_diff_q=None, local_diff_s=None, fiber_q=None,
+                   fiber_s=None):
     """dC/dt contribution through one relation.  `B_q`/`B_s`: linear
     gradient correction matrices of the two sides — when given, the pair
     surface area uses the corrected kernel gradient
@@ -99,6 +130,9 @@ def diffusion_rate(pos_q, species_q, vol_s, pos_s, species_s, nl: NeighborList,
         else:
             k_j, _ = gather(local_diff_s, nl.idx)
             d_ij = 0.5 * (local_diff_q[:, None] + k_j)
+    elif fiber_q is not None:
+        f_j, _ = gather(fiber_s if fiber_s is not None else fiber_q, nl.idx)
+        d_ij = diffusion.inter_particle_coeff(pg.e, fiber_q, f_j)
     else:
         d_ij = diffusion.inter_particle_coeff(pg.e)
     area = 2.0 * pg.dW * vol_j / (pg.r + TINY)
@@ -174,9 +208,11 @@ def diffusion_step(state: State, species: str, nl_inner: NeighborList, kernel,
     c = state[species]
     B = state["LinearGradientCorrectionMatrix"] if correction else None
     kq = state[local_diff] if local_diff is not None else None
+    fq = state[diffusion.fiber_key] if hasattr(diffusion, "fiber_key") else None
     rate = diffusion_rate(pos, c, state["VolumetricMeasure"], pos, c, nl_inner,
                           kernel, dim, diffusion, box, B_q=B,
-                          local_diff_q=kq, local_diff_s=kq)
+                          local_diff_q=kq, local_diff_s=kq, fiber_q=fq,
+                          fiber_s=fq)
     for c_state, nl_c in dirichlet_contacts:
         # Dirichlet boundaries double the concentration jump (ghost value
         # reflected across the interface): phi_ij = 2 (C_i - C_j)

@@ -371,6 +371,10 @@ CASES["droplet_impact_2d"] = _run_single_fluid(
     lambda c, s: {"WaterBody": s.water, "AirBody": s.air, "WallBoundary": c.wall},
     t_end=0.2)
 
+CASES["heart_electromechanics_3d"] = _run_single_fluid(
+    "heart_electromechanics_3d", lambda c, s: {"Myocardium": s.myo},
+    t_end=8.0)
+
 CASES["three_ring_impact_2d"] = _run_single_fluid(
     "three_ring_impact_2d",
     lambda c, s: {"RingL": s.ring_l, "RingM": s.ring_m, "RingS": s.ring_s},
