@@ -54,6 +54,14 @@ class ArticulatedTree(NamedTuple):
     X_PF.p = r_parent, X_BM.p = r_child and the pin about the frames'
     common axis.
 
+    ``joint_type[i]`` selects the mobilizer: "pin" (revolute, the
+    default) or "slider" (prismatic along ``axis`` — the
+    SimTK::MobilizedBody::Slider convention; a Planar mobilizer is the
+    chain slider-x -> slider-y -> pin of massless intermediate links,
+    see `planar_tree`).  Because every dynamic quantity is derived from
+    `forward_kinematics` by autodiff, prismatic joints need no new
+    dynamics code.
+
     ``parent`` is a *static* numpy array (the tree's topology is trace-time
     structure, not data); everything else may be traced.
     """
@@ -64,6 +72,7 @@ class ArticulatedTree(NamedTuple):
     mass: jnp.ndarray         # (n,)
     inertia: jnp.ndarray      # (n, 3, 3) about the body COM, body frame
     com: jnp.ndarray          # (n, 3) COM station in body frame
+    joint_type: tuple = ()    # static; () = all pins
 
     @property
     def n_links(self) -> int:
@@ -105,12 +114,22 @@ def forward_kinematics(tree: ArticulatedTree, q, u) -> LinkKinematics:
         else:
             R_p, p_p, v_p, w_p = Rs[pi], ps[pi], vs[pi], ws[pi]
         a_w = R_p @ tree.axis[i]
-        R_i = R_p @ _rot_axis_angle(tree.axis[i], q[i])
-        rp_w = R_p @ tree.r_parent[i]
-        rc_w = R_i @ tree.r_child[i]
-        p_i = p_p + rp_w - rc_w
-        w_i = w_p + u[i] * a_w
-        v_i = v_p + jnp.cross(w_p, rp_w) - jnp.cross(w_i, rc_w)
+        slider = bool(tree.joint_type) and tree.joint_type[i] == "slider"
+        if slider:
+            R_i = R_p
+            rp_w = R_p @ tree.r_parent[i] + q[i] * a_w
+            rc_w = R_i @ tree.r_child[i]
+            p_i = p_p + rp_w - rc_w
+            w_i = w_p
+            v_i = v_p + jnp.cross(w_p, rp_w) + u[i] * a_w \
+                - jnp.cross(w_i, rc_w)
+        else:
+            R_i = R_p @ _rot_axis_angle(tree.axis[i], q[i])
+            rp_w = R_p @ tree.r_parent[i]
+            rc_w = R_i @ tree.r_child[i]
+            p_i = p_p + rp_w - rc_w
+            w_i = w_p + u[i] * a_w
+            v_i = v_p + jnp.cross(w_p, rp_w) - jnp.cross(w_i, rc_w)
         Rs.append(R_i), ps.append(p_i), vs.append(v_i), ws.append(w_i)
     R = jnp.stack(Rs)
     p = jnp.stack(ps)
@@ -172,6 +191,27 @@ def _one_hot_mask(n, idx, dtype):
     m = np.zeros(n, dtype=bool)
     m[np.asarray(idx, int)] = True
     return jnp.asarray(m, dtype=dtype)
+
+
+def planar_tree(mass: float, inertia_zz: float, origin_w,
+                dtype=jnp.float32) -> ArticulatedTree:
+    """A single rigid body on a Planar mobilizer
+    (SimTK::MobilizedBody::Planar, tethered_dead_fish_in_flow.cpp:370):
+    massless x/y sliders then a pin about z.  q = (dx, dy, theta)
+    relative to the world station ``origin_w`` (the body frame's origin
+    at q = 0); put the body's COM at its frame origin."""
+    zeros3 = jnp.zeros((3,), dtype)
+    eye_eps = jnp.zeros((3, 3), dtype)
+    izz = jnp.asarray([[0.0, 0, 0], [0, 0.0, 0], [0, 0, inertia_zz]], dtype)
+    return ArticulatedTree(
+        parent=np.asarray([-1, 0, 1]),
+        axis=jnp.asarray([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]], dtype),
+        r_parent=jnp.stack([jnp.asarray(origin_w, dtype), zeros3, zeros3]),
+        r_child=jnp.stack([zeros3, zeros3, zeros3]),
+        mass=jnp.asarray([0.0, 0.0, mass], dtype),
+        inertia=jnp.stack([eye_eps, eye_eps, izz]),
+        com=jnp.stack([zeros3, zeros3, zeros3]),
+        joint_type=("slider", "slider", "pin"))
 
 
 # ---------------------------------------------------------------------------

@@ -371,6 +371,11 @@ CASES["droplet_impact_2d"] = _run_single_fluid(
     lambda c, s: {"WaterBody": s.water, "AirBody": s.air, "WallBoundary": c.wall},
     t_end=0.2)
 
+CASES["tethered_fish_2d"] = _run_single_fluid(
+    "tethered_fish_2d",
+    lambda c, s: {"WaterBody": s.fluid, "FishBody": s.fish, "Wall": c.wall},
+    t_end=10.0)
+
 CASES["heart_electromechanics_3d"] = _run_single_fluid(
     "heart_electromechanics_3d", lambda c, s: {"Myocardium": s.myo},
     t_end=8.0)
