@@ -135,3 +135,76 @@ def emitter_inflow_injection(state: State, region: AlignedBoxRegion,
     out["_InjectionOverflow"] = out.get(
         "_InjectionOverflow", jnp.zeros((), bool)) | overflow
     return out
+
+
+def bidirectional_buffer_exchange(state: State, region: AlignedBoxRegion,
+                                  inward: int = +1,
+                                  fields=_PARTICLE_FIELDS_HINT,
+                                  prev_pos=None) -> State:
+    """BidirectionalBuffer (extra_src/shared/pressure_boundary/
+    bidirectional_buffer.h, used by the pulsatile-poiseuille / vessel
+    pressure-BC cases): one buffer at a domain end that supports flow in
+    EITHER direction.
+
+      * a particle crossing the buffer's INNER plane into the bulk keeps
+        going, and a clone respawns one buffer length behind it
+        (replenishing the buffer — the reference's particle creation);
+      * a particle crossing the OUTER plane (leaving the domain) is
+        deleted into the reserve.
+
+    ``inward`` = +1 when the bulk lies toward +axis of the buffer (a
+    left/inlet buffer), -1 when toward -axis (a right/outlet buffer).
+    Pass ``prev_pos`` (positions before this step's advection) for exact
+    crossing detection."""
+    axis = region.axis
+    out = ensure_alive_mask(state)
+
+    # deletion at the outer plane
+    pos = out["Position"]
+    outer = pos[:, axis] < region.lower[axis] if inward > 0 \
+        else pos[:, axis] > region.upper[axis]
+    lo_v = jnp.asarray(region.lower, dtype=pos.dtype)
+    hi_v = jnp.asarray(region.upper, dtype=pos.dtype)
+    transverse = jnp.ones(pos.shape[0], dtype=bool)
+    for d in range(pos.shape[1]):
+        if d != axis:
+            transverse &= (pos[:, d] >= lo_v[d]) & (pos[:, d] <= hi_v[d])
+    gone = out["Alive"] & transverse & outer
+    out["Alive"] = out["Alive"] & ~gone
+    out["Position"] = jnp.where(gone[:, None], FAR_AWAY, out["Position"])
+
+    # injection at the inner plane
+    pos = out["Position"]
+    alive = out["Alive"]
+    length = region.upper[axis] - region.lower[axis]
+    if inward > 0:
+        plane = region.upper[axis]
+        crossed = alive & transverse & (pos[:, axis] > plane)
+        if prev_pos is not None:
+            crossed &= prev_pos[:, axis] <= plane
+        shift = -length
+    else:
+        plane = region.lower[axis]
+        crossed = alive & transverse & (pos[:, axis] < plane)
+        if prev_pos is not None:
+            crossed &= prev_pos[:, axis] >= plane
+        shift = length
+
+    n = pos.shape[0]
+    cross_rank = jnp.cumsum(crossed) - 1
+    n_dead = jnp.sum(~alive)
+    can_clone = crossed & (cross_rank < n_dead)
+    dead_slots = jnp.nonzero(~alive, size=n, fill_value=n - 1)[0]
+    tgt = jnp.where(can_clone, dead_slots[jnp.minimum(cross_rank, n - 1)], n)
+    for k in fields:
+        if k not in out:
+            continue
+        out[k] = out[k].at[tgt].set(out[k][jnp.arange(n)], mode="drop")
+    out["Alive"] = out["Alive"].at[tgt].set(True, mode="drop")
+    # the clone (not the crosser) is shifted back into the buffer
+    out["Position"] = out["Position"].at[tgt, axis].add(
+        jnp.full((n,), shift, pos.dtype), mode="drop")
+    overflow = jnp.sum(crossed) > n_dead
+    out["_InjectionOverflow"] = out.get(
+        "_InjectionOverflow", jnp.zeros((), bool)) | overflow
+    return out

@@ -77,3 +77,42 @@ def impose_pressure_condition(fluid: State, region, p_target, eos) -> State:
     out["Density"] = jnp.where(inside, eos.density_from_pressure(p_target),
                                fluid["Density"])
     return out
+
+
+def kernel_gradient_sum(fluid: State, nl_inner, kernel, dim: int,
+                        contacts=(), box=None):
+    """KernelSummation of the pressure-boundary cases: S_i = sum_j
+    gradW_ij V_j over inner + contact relations — ~0 in the bulk,
+    pointing INTO the domain where the kernel support is truncated (the
+    open channel ends), i.e. the missing-neighbor gradient."""
+    from sphinxsys_tpu.physics.pair import gather, pair_geometry
+
+    pos = fluid["Position"]
+
+    def one(pos_s, vol_s, nl):
+        pg = pair_geometry(pos, pos_s, nl, kernel, dim, need_W=False,
+                           box=box)
+        vol_j, _ = gather(vol_s, nl.idx)
+        return jnp.sum((pg.dW * vol_j)[..., None] * pg.e, axis=1)
+
+    S = one(pos, fluid["VolumetricMeasure"], nl_inner)
+    for c_state, nl_c in contacts:
+        S = S + one(c_state["Position"], c_state["VolumetricMeasure"], nl_c)
+    return S
+
+
+def pressure_condition_velocity(fluid: State, region, p_target, dt,
+                                kernel_sum, axis: int = 0) -> State:
+    """The PressureCondition velocity update (pressure_boundary.h:60-70):
+    buffer particles get the truncated-support compensation force
+    vel += 2 S_i p_target / rho dt, and their velocity is constrained to
+    the buffer's flow axis (transverse components zeroed)."""
+    out = dict(fluid)
+    inside = region.contains(fluid["Position"]) & valid_mask(fluid)
+    vel = fluid["Velocity"]
+    vel = vel + jnp.where(inside[:, None],
+                          2.0 * kernel_sum * p_target
+                          / fluid["Density"][:, None] * dt, 0.0)
+    aligned = jnp.zeros_like(vel).at[:, axis].set(vel[:, axis])
+    out["Velocity"] = jnp.where(inside[:, None], aligned, vel)
+    return out

@@ -290,7 +290,18 @@ def test_fvm_3d_mesh_compiles_reference_icem():
 def test_fvm_3d_channel_conserves_mass_and_speeds_up():
     """3D inviscid channel flow (velocity inlet vs pressure outlet, slip
     walls): inlet mass flux equals U A_in; the outlet flux balances it to
-    a few % once the transient passes; the bump accelerates the flow."""
+    a few % once the transient passes; the bump accelerates the flow.
+
+    Physics oracles instead of the reference DB: the shipped
+    regression DB (test_3d_FVM_incompressible_channel_flow/
+    regression_test_tool/WaveBody_MaximumSpeed_ensemble_averaged_mean_
+    variance.xml) is degenerate — it holds only TWO snapshots (0 and
+    1000) and records MaximumSpeed 8.25 at snapshot 0 and 13.33 at
+    snapshot 1000, while the case's inlet speed is U_f = 1.0 with
+    c_f = 10 (.h:26-27): a subsonic bump channel cannot reach Mach 1.3,
+    and the t=0 field is initialized AT U_f = 1, not 8.25.  The values
+    are physically impossible for the stated setup, so the curve cannot
+    gate a correct implementation."""
     import jax
     import jax.numpy as jnp
     import numpy as np
