@@ -196,12 +196,13 @@ def _advection_step(case: PulsatileCase, s: SimState) -> SimState:
         f = fd.acoustic_step_1st_half(f, s.nl_inner, kernel, dim, case.eos,
                                       case.riemann, dt, wall=wall,
                                       nl_wall=s.nl_wall)
-        # pressure conditions in both buffers (cpp:191-192): imposed
-        # pressure state + the truncated-support compensation velocity
-        # (kernel_summation.exec() + PressureCondition::update)
+        # pressure conditions in both buffers (cpp:258-260): the reference's
+        # PressureCondition::update (pressure_boundary.h:61-72) applies ONLY
+        # the truncated-support compensation velocity
+        # vel += 2 S_i p_target / rho dt (+ axis alignment) — it does NOT
+        # Dirichlet the pressure/density state per substep; the target
+        # pressure enters the momentum budget purely through this term.
         p_in = inlet_pressure(case, t_now)
-        f = wk.impose_pressure_condition(f, case.buf_l, p_in, case.eos)
-        f = wk.impose_pressure_condition(f, case.buf_r, 0.0, case.eos)
         ksum = wk.kernel_gradient_sum(f, s.nl_inner, kernel, dim,
                                       contacts=[(wall, s.nl_wall)])
         f = wk.pressure_condition_velocity(f, case.buf_l, p_in, dt, ksum)

@@ -169,7 +169,11 @@ def bidirectional_buffer_exchange(state: State, region: AlignedBoxRegion,
     for d in range(pos.shape[1]):
         if d != axis:
             transverse &= (pos[:, d] >= lo_v[d]) & (pos[:, d] <= hi_v[d])
-    gone = out["Alive"] & transverse & outer
+    # deletion checks only the axial plane (bidirectional_buffer.h:157-169
+    # Deletion: axial bound + buffer tag) — NOT transverse containment, so a
+    # particle leaking past a corner slightly outside the transverse band is
+    # still removed rather than lingering outside the domain forever
+    gone = out["Alive"] & outer
     out["Alive"] = out["Alive"] & ~gone
     out["Position"] = jnp.where(gone[:, None], FAR_AWAY, out["Position"])
 
@@ -177,17 +181,25 @@ def bidirectional_buffer_exchange(state: State, region: AlignedBoxRegion,
     pos = out["Position"]
     alive = out["Alive"]
     length = region.upper[axis] - region.lower[axis]
+    # a crosser must have been a BUFFER RESIDENT the previous step (the
+    # reference's buffer_indicator == part_id tag, bidirectional_buffer.h:
+    # 110-112).  Without the residency bound, a slot recycled this step for
+    # a fresh clone still carries its stale prev position (often FAR_AWAY),
+    # which can satisfy the bare one-sided prev test of the OTHER buffer
+    # and duplicate the clone there every cycle.
     if inward > 0:
         plane = region.upper[axis]
         crossed = alive & transverse & (pos[:, axis] > plane)
         if prev_pos is not None:
-            crossed &= prev_pos[:, axis] <= plane
+            crossed &= (prev_pos[:, axis] <= plane) \
+                & (prev_pos[:, axis] >= region.lower[axis])
         shift = -length
     else:
         plane = region.lower[axis]
         crossed = alive & transverse & (pos[:, axis] < plane)
         if prev_pos is not None:
-            crossed &= prev_pos[:, axis] >= plane
+            crossed &= (prev_pos[:, axis] >= plane) \
+                & (prev_pos[:, axis] <= region.upper[axis])
         shift = length
 
     n = pos.shape[0]

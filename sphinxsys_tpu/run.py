@@ -380,6 +380,10 @@ CASES["heart_electromechanics_3d"] = _run_single_fluid(
     "heart_electromechanics_3d", lambda c, s: {"Myocardium": s.myo},
     t_end=8.0)
 
+CASES["pulsatile_poiseuille_2d"] = _run_single_fluid(
+    "pulsatile_poiseuille_2d",
+    lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=10.0)
+
 CASES["three_ring_impact_2d"] = _run_single_fluid(
     "three_ring_impact_2d",
     lambda c, s: {"RingL": s.ring_l, "RingM": s.ring_m, "RingS": s.ring_s},
