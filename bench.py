@@ -13,11 +13,16 @@ the 3D dambreak at ~4.1M (the reference's flagship scaling story is the
 The headline value/vs_baseline is the LARGEST-N 3D config that completed;
 every config's full result is under detail.configs.
 
-Env knobs: BENCH_CASE (dambreak_2d | dambreak_3d: run ONLY that case with
-BENCH_DX etc. — the single-case debug mode), BENCH_DX, BENCH_STEPS (timed
-advection steps), BENCH_PLATFORM (force e.g. cpu), BENCH_ENGINE
-(pallas | block | gather; default pallas — the fused transposed Pallas
-sweeps, ops/pallas_block2.py), BENCH_SKIP_4M=1 to drop the 4M config.
+The driver run also times one SOLID config: the 3D twisting column on
+the lattice-stencil TL engine (physics/solid_lattice.py) at ~1.1M
+particles — the solid fast-path throughput record (VERDICT r4 item 2).
+
+Env knobs: BENCH_CASE (dambreak_2d | dambreak_3d | twisting_column_3d:
+run ONLY that case with BENCH_DX etc. — the single-case debug mode),
+BENCH_DX, BENCH_STEPS (timed advection steps), BENCH_PLATFORM (force e.g.
+cpu), BENCH_ENGINE (pallas | block | gather; default pallas — the fused
+transposed Pallas sweeps, ops/pallas_block2.py), BENCH_SKIP_4M=1 to drop
+the 4M config, BENCH_SKIP_SOLID=1 to drop the solid config.
 """
 
 from __future__ import annotations
@@ -153,6 +158,68 @@ def run_one(bench_case: str, dx: float, n_steps: int, engine: str,
     }
 
 
+def run_solid(dx: float, n_steps: int) -> dict:
+    """Twisting-column throughput on the lattice-stencil TL solid engine.
+    Pairs per sweep = the exact frozen-pair count (sum over stencil taps
+    of in-box i,j pairs); each step runs 2 pair sweeps (1st + 2nd half)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sphinxsys_tpu.cases import twisting_column_3d as tc
+
+    case, col = tc.build_case(dx=dx, engine="lattice")
+    s = tc.init_sim(case, col)
+    run = tc.make_run_chunk(case)
+    n = case.n_column
+    print(f"[bench] twisting_column_3d dx={dx}: n={n}; compiling + warming"
+          " up...", file=sys.stderr, flush=True)
+    t_w = time.perf_counter()
+    s = run(s, jnp.asarray(1.0e-9, s.time.dtype))     # >= 1 step: learn dt
+    jax.block_until_ready(s.column["Position"])
+    dt0 = float(s.time) / int(s.n_steps)
+    s = run(s, jnp.asarray(float(s.time) + 3 * dt0, s.time.dtype))  # warm
+    jax.block_until_ready(s.column["Position"])
+    print(f"[bench] warmup done in {time.perf_counter()-t_w:.0f}s",
+          file=sys.stderr, flush=True)
+
+    best = None
+    for _ in range(2):
+        n0 = int(s.n_steps)
+        t0 = time.perf_counter()
+        s = run(s, jnp.asarray(float(s.time) + n_steps * dt0, s.time.dtype))
+        jax.block_until_ready(s.column["Position"])
+        elapsed_i = time.perf_counter() - t0
+        steps_i = int(s.n_steps) - n0
+        if best is None or steps_i / elapsed_i > best[0] / best[1]:
+            best = (steps_i, elapsed_i)
+    steps, elapsed = best
+
+    # exact frozen-pair count of the full box lattice
+    nx, ny, nz = case.lat.shape
+    pairs = sum((nx - abs(o[0])) * (ny - abs(o[1])) * (nz - abs(o[2]))
+                for o, *_ in case.lat.taps)
+    updates = 2 * steps * pairs
+    rate = updates / elapsed
+    return {
+        "metric": "pair_interaction_updates_per_sec",
+        "value": rate,
+        "unit": "1/s",
+        "vs_baseline": rate / 1.0e9,
+        "detail": {
+            "case": "twisting_column_3d",
+            "engine": "lattice_stencil",
+            "dx": dx,
+            "n_fluid": 0,
+            "n_solid": n,
+            "steps": steps,
+            "pairs_per_sweep": pairs,
+            "elapsed_s": elapsed,
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def block_kwargs_from_env() -> dict:
     kw = {}
     if os.environ.get("BENCH_CMAX"):
@@ -179,6 +246,10 @@ def main() -> None:
     n_steps = int(os.environ.get("BENCH_STEPS", "40"))
 
     single = os.environ.get("BENCH_CASE")
+    if single == "twisting_column_3d":
+        dx = float(os.environ.get("BENCH_DX", "0.0175"))
+        print(json.dumps(run_solid(dx, n_steps)))
+        return
     if single:
         # single-case debug mode: honors BENCH_DX and the block knobs
         dx = float(os.environ.get(
@@ -207,6 +278,13 @@ def main() -> None:
             print(f"[bench] {case_name} dx={dx} FAILED: {exc!r}",
                   file=sys.stderr, flush=True)
             errors.append({"case": case_name, "dx": dx, "error": repr(exc)})
+    if not os.environ.get("BENCH_SKIP_SOLID"):
+        try:
+            results.append(run_solid(0.0175, n_steps))
+        except Exception as exc:
+            print(f"[bench] twisting_column_3d FAILED: {exc!r}",
+                  file=sys.stderr, flush=True)
+            errors.append({"case": "twisting_column_3d", "error": repr(exc)})
     if not results:
         raise SystemExit(f"all bench configs failed: {errors}")
 
@@ -214,7 +292,8 @@ def main() -> None:
     # is still recorded under detail.configs); fall back to the best 2D
     # number if 3D failed outright
     three_d = [r for r in results if r["detail"]["case"] == "dambreak_3d"]
-    headline = max(three_d or results, key=lambda r: r["value"])
+    fluid = [r for r in results if r["detail"].get("engine") != "lattice_stencil"]
+    headline = max(three_d or fluid or results, key=lambda r: r["value"])
     out = dict(headline)
     out["detail"] = {"headline": headline["detail"],
                      "configs": [r["detail"] | {"value": r["value"]}

@@ -53,17 +53,27 @@ class TwistingCase:
     dx: float
     adaptation: SPHAdaptation
     material: NeoHookeanSolid
-    rp: sd.ReferencePairs
+    rp: Any                    # ReferencePairs (gather engine) or None
     holder_mask: Any
     n_column: int
+    lat: Any = None            # solid_lattice.LatticeSolid (lattice engine)
 
     @property
     def kernel(self):
         return self.adaptation.kernel
 
+    @property
+    def engine(self):
+        return "lattice" if self.lat is not None else "gather"
+
 
 def build_case(dx: float = DX, dtype=jnp.float32, cell_cap: int = 36,
-               k_inner: int = 96):
+               k_inner: int = 96, engine: str = "gather"):
+    """engine="gather": frozen (N, K) pair lists (physics/solid.py);
+    engine="lattice": the stencil fast path (physics/solid_lattice.py) —
+    same physics, per-offset-constant frozen pair data, no neighbor
+    tensors (the TPU production path; see tests/test_solid_lattice.py for
+    the pairwise-equality gate)."""
     adaptation = SPHAdaptation(spacing=dx, dim=3)
     material = NeoHookeanSolid(rho0=RHO0, youngs_modulus=YOUNGS,
                                poisson_ratio=POISSON)
@@ -73,6 +83,7 @@ def build_case(dx: float = DX, dtype=jnp.float32, cell_cap: int = 36,
     ys = np.arange(-PH / 2 + dx / 2, PH / 2, dx)
     zs = np.arange(-PW / 2 + dx / 2, PW / 2, dx)
     pos = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), -1).reshape(-1, 3)
+    lat_shape = (len(xs), len(ys), len(zs))
 
     column = dict(sd.make_elastic_solid_state(pos, dx ** 3, material,
                                               dtype=dtype))
@@ -88,6 +99,17 @@ def build_case(dx: float = DX, dtype=jnp.float32, cell_cap: int = 36,
     column["Velocity"] = jnp.asarray(vel, dtype)
 
     holder_mask = jnp.asarray(x < 0.0)
+
+    if engine == "lattice":
+        from sphinxsys_tpu.physics import solid_lattice as sl
+        lat = sl.make_lattice(adaptation.kernel, dx, lat_shape)
+        column["LatticeValid"] = jnp.ones(len(pos), bool)
+        column["LinearGradientCorrectionMatrix"] = jnp.asarray(
+            sl.lattice_correction_matrix(lat, column["LatticeValid"],
+                                         dtype=jnp.float64), dtype)
+        return TwistingCase(dx=dx, adaptation=adaptation, material=material,
+                            rp=None, holder_mask=holder_mask,
+                            n_column=len(pos), lat=lat), column
 
     lo = (-SL - 4 * dx, -PH, -PW)
     hi = (PL + 4 * dx, PH, PW)
@@ -121,10 +143,17 @@ def _step(case: TwistingCase, s: SimState) -> SimState:
     col = s.column
     dt = sd.solid_acoustic_time_step(col, case.material.sound_speed,
                                      case.adaptation.h, cfl=0.5)
-    col = sd.decomposed_integration_1st_half(col, case.rp, case.material, dt,
-                                             case.adaptation.h)
-    col = sd.fix_constraint(col, case.holder_mask)
-    col = sd.integration_2nd_half(col, case.rp, dt)
+    if case.lat is not None:
+        from sphinxsys_tpu.physics import solid_lattice as sl
+        col = sl.decomposed_integration_1st_half_lattice(
+            col, case.lat, case.material, dt, case.adaptation.h)
+        col = sd.fix_constraint(col, case.holder_mask)
+        col = sl.integration_2nd_half_lattice(col, case.lat, dt)
+    else:
+        col = sd.decomposed_integration_1st_half(col, case.rp, case.material,
+                                                 dt, case.adaptation.h)
+        col = sd.fix_constraint(col, case.holder_mask)
+        col = sd.integration_2nd_half(col, case.rp, dt)
     return SimState(column=col, time=s.time + dt, n_steps=s.n_steps + 1,
                     overflow=s.overflow)
 
