@@ -40,16 +40,16 @@ def run_one(bench_case: str, dx: float, n_steps: int, engine: str,
 
     if bench_case == "dambreak_3d":
         from sphinxsys_tpu.cases import dambreak_3d as db
-        from sphinxsys_tpu.cases import dambreak_3d_block as dbb
     else:
         from sphinxsys_tpu.cases import dambreak_2d as db
-        from sphinxsys_tpu.cases import dambreak_2d_block as dbb
+    from sphinxsys_tpu.engine import scene as sc
 
     if engine in ("block", "pallas"):
-        case, fluid = dbb.build_case(dx=dx, use_pallas=(engine == "pallas"),
-                                     **block_kwargs)
-        sim = dbb.init_sim(case, fluid)
-        run_chunk = dbb.make_run_chunk(case)
+        case, fluid = db.build_block_case(dx=dx,
+                                          use_pallas=(engine == "pallas"),
+                                          **block_kwargs)
+        sim = sc.init_sim(case, fluid)
+        run_chunk = sc.make_run_chunk(case)
         n_fluid, n_wall = case.base.n_fluid, case.base.n_wall
         h = case.base.adaptation.h
 
@@ -75,17 +75,37 @@ def run_one(bench_case: str, dx: float, n_steps: int, engine: str,
     print(f"[bench] warmup done in {time.perf_counter()-t_w:.0f}s",
           file=sys.stderr, flush=True)
 
-    # timed: n_steps advection steps in ONE device dispatch; two timed
-    # repetitions, best taken — the first timed dispatch in a process
-    # carries ~0.4 s of one-off runtime warmup on the TPU tunnel
+    # timed: n_steps advection steps, two repetitions, best taken — the
+    # first timed dispatch in a process carries ~0.4 s of one-off runtime
+    # warmup on the TPU tunnel.  IMPORTANT: a single device dispatch must
+    # stay under ~25 s — the remote-TPU tunnel kills dispatches that run
+    # much longer (~60 s+), surfacing as "TPU device error" (this, not
+    # VMEM, was the r4 3D-bench crash: 40 advection steps at 1M particles
+    # is ~100 s in one while_loop dispatch).  So: measure the per-step
+    # cost on a short dispatch, then split the timed run into dispatches
+    # bounded by BENCH_DISPATCH_S seconds (default 20).
+    probe_steps = 2
+    n_adv0 = int(sim.n_adv)
+    t0 = time.perf_counter()
+    sim = run_chunk(sim, sim.time + probe_steps * dt_adv_est)
+    jax.block_until_ready(ready(sim))
+    per_step = (time.perf_counter() - t0) / max(int(sim.n_adv) - n_adv0, 1)
+    max_disp = float(os.environ.get("BENCH_DISPATCH_S", "20"))
+    chunk_steps = max(1, min(n_steps, int(max_disp / max(per_step, 1e-9))))
+
     best = None
     for _ in range(2):
         n_adv0, n_ac0 = int(sim.n_adv), int(sim.n_ac)
-        t_target = sim.time + n_steps * dt_adv_est
-        t0 = time.perf_counter()
-        sim = run_chunk(sim, t_target)
-        jax.block_until_ready(ready(sim))
-        elapsed_i = time.perf_counter() - t0
+        elapsed_i = 0.0
+        done = 0
+        while done < n_steps:
+            k = min(chunk_steps, n_steps - done)
+            t_target = sim.time + k * dt_adv_est
+            t0 = time.perf_counter()
+            sim = run_chunk(sim, t_target)
+            jax.block_until_ready(ready(sim))
+            elapsed_i += time.perf_counter() - t0
+            done += k
         n_adv_i = int(sim.n_adv) - n_adv0
         n_ac_i = int(sim.n_ac) - n_ac0
         rate_i = n_ac_i / elapsed_i
@@ -98,7 +118,7 @@ def run_one(bench_case: str, dx: float, n_steps: int, engine: str,
         # not fit HBM (the sim itself does)
         from sphinxsys_tpu.neighbors import build_cell_table, build_neighbor_list
 
-        parts = dbb.blocks_to_particles(case, sim, n_fluid)
+        parts = sc.blocks_to_particles(case, sim, n_fluid)
         base = case.base
         cutoff = base.adaptation.cutoff
         pos = parts["Position"]
@@ -182,13 +202,27 @@ def run_solid(dx: float, n_steps: int) -> dict:
     print(f"[bench] warmup done in {time.perf_counter()-t_w:.0f}s",
           file=sys.stderr, flush=True)
 
+    # bound each dispatch (see run_one: the tunnel kills ~60s+ dispatches)
+    n0 = int(s.n_steps)
+    t0 = time.perf_counter()
+    s = run(s, jnp.asarray(float(s.time) + 2 * dt0, s.time.dtype))
+    jax.block_until_ready(s.column["Position"])
+    per_step = (time.perf_counter() - t0) / max(int(s.n_steps) - n0, 1)
+    max_disp = float(os.environ.get("BENCH_DISPATCH_S", "20"))
+    chunk_steps = max(1, min(n_steps, int(max_disp / max(per_step, 1e-9))))
+
     best = None
     for _ in range(2):
         n0 = int(s.n_steps)
-        t0 = time.perf_counter()
-        s = run(s, jnp.asarray(float(s.time) + n_steps * dt0, s.time.dtype))
-        jax.block_until_ready(s.column["Position"])
-        elapsed_i = time.perf_counter() - t0
+        elapsed_i = 0.0
+        done = 0
+        while done < n_steps:
+            k = min(chunk_steps, n_steps - done)
+            t0 = time.perf_counter()
+            s = run(s, jnp.asarray(float(s.time) + k * dt0, s.time.dtype))
+            jax.block_until_ready(s.column["Position"])
+            elapsed_i += time.perf_counter() - t0
+            done += k
         steps_i = int(s.n_steps) - n0
         if best is None or steps_i / elapsed_i > best[0] / best[1]:
             best = (steps_i, elapsed_i)

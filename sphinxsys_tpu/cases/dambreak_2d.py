@@ -224,3 +224,21 @@ def make_advection_step(case: DambreakCase):
         return _advection_step(case, s)
 
     return step
+
+
+def build_block_case(dx: float = 0.025, dtype=jnp.float32, cap: int = 12,
+                     c_max: int | None = None, use_pallas: bool = False,
+                     pallas_interpret: bool = False, tile_c: int = 256,
+                     cap_wall: int | None = None, window_chunks: int = 1):
+    """The same scene on the cell-block / Pallas engine (engine/scene.py)
+    — one scene, every engine.  Returns (BlockScene, fluid)."""
+    from sphinxsys_tpu.engine import scene as sc
+
+    base, fluid = build_case(dx=dx, dtype=dtype)
+    scene = sc.standard_scene(
+        base, fluid, rho0=RHO0_F, speed_ref=U_REF, dim=2,
+        free_surface=True, wall=base.wall, cap=cap, c_max=c_max,
+        cap_wall=cap_wall, tile_c=tile_c, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret, window_chunks=window_chunks,
+        wall_static=True)
+    return scene, fluid

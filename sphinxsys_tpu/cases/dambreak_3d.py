@@ -169,3 +169,25 @@ def make_run_chunk(case):
                                   lambda st: _advection_step(case, st), s)
 
     return run_chunk
+
+
+def build_block_case(dx: float = 0.05, dtype=jnp.float32, cap: int = 40,
+                     c_max: int | None = None, use_pallas: bool = False,
+                     pallas_interpret: bool = False, tile_c: int = 128,
+                     cap_wall: int | None = None, window_chunks: int = 1):
+    """The same scene on the cell-block / Pallas engine (engine/scene.py).
+
+    3D capacity notes: a 2.6dx cell holds up to 3 lattice planes per axis
+    = 27 particles at t = 0 and the surge front transiently clusters past
+    32 (measured at dx=0.1), so the default slot cap is 40; the wall is a
+    thin shell (mean occupancy ~9 at dx=0.1) sized by n_wall/4."""
+    from sphinxsys_tpu.engine import scene as sc
+
+    base, fluid = build_case(dx=dx, dtype=dtype)
+    scene = sc.standard_scene(
+        base, fluid, rho0=RHO0_F, speed_ref=U_REF, dim=3,
+        free_surface=True, wall=base.wall, cap=cap, c_max=c_max,
+        cap_wall=cap_wall, tile_c=tile_c, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret, window_chunks=window_chunks,
+        wall_static=True)
+    return scene, fluid

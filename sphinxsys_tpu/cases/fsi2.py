@@ -366,3 +366,154 @@ def observe_tip(s: FSISim, idx, weights):
     """Interpolated tip Position with frozen weights (general_interpolation.h
     BaseInterpolation::interaction, normalized by total weight)."""
     return jnp.sum(s.solid["Position"][idx] * weights[:, None], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Block-engine binding (engine/scene.py) — one scene, every engine
+# ---------------------------------------------------------------------------
+
+def inflow_velocity_b(fb, t, dl_sponge: float):
+    """inflow_velocity in block layout (fsi2.h:146-167): works on any
+    trailing-channel layout via broadcasting + the SlotMask."""
+    pos, vel = fb["Position"], fb["Velocity"]
+    u_ave = jnp.where(t < T_REF,
+                      0.5 * U_F * (1.0 - jnp.cos(jnp.pi * t / T_REF)), U_F)
+    y_local = pos[..., 1] - DH / 2
+    h = DH / 2
+    vx_target = (1.5 * u_ave * (1.0 - y_local * y_local / (h * h))).astype(
+        vel.dtype)
+    in_buffer = (pos[..., 0] < 0.0) & (pos[..., 0] >= -dl_sponge - 1e-9) \
+        & fb["SlotMask"]
+    out = dict(fb)
+    out["Velocity"] = jnp.stack(
+        [jnp.where(in_buffer, vx_target, vel[..., 0]), vel[..., 1]], axis=-1)
+    return out
+
+
+def build_block_case(dx: float = 0.1, dtype=jnp.float32, cap: int = 12,
+                     c_max: int | None = None, use_pallas: bool = False,
+                     pallas_interpret: bool = False, tile_c: int = 256):
+    """fsi2 on the cell-block engine via the generic scene runner.
+
+    Block-engine specifics (same reasoning as the retired fsi2_block.py):
+      * ONE periodic-x grid; the wall strips' hand-made x-overhang images
+        are TRIMMED (the wrap supplies them) — identical wall geometry;
+      * wall + insert merge into ONE wall-type contact body whose slots
+        re-freeze per advection step (wall_state_fn) and whose channels
+        refresh per acoustic iteration;
+      * the solid keeps the gather formulation (tiny next to the fluid),
+        coupled through direct block-window gathers (physics/fsi_blocks).
+
+    Returns (BlockScene, fluid, solid); init with
+    `scene_mod.init_sim(scene, fluid, aux=make_aux(solid))` or simply
+    `init_block_sim(scene, fluid, solid)`."""
+    import numpy as _np
+
+    from sphinxsys_tpu.engine import block_fluid as eng_mod
+    from sphinxsys_tpu.engine import scene as sc
+    from sphinxsys_tpu.engine.block_fluid import BlockEngine
+    from sphinxsys_tpu.neighbors.cell_blocks import dense_cell_map
+    from sphinxsys_tpu.neighbors.cell_list import wrap_positions
+    from sphinxsys_tpu.physics import fsi
+    from sphinxsys_tpu.physics import fsi_blocks as fsb
+
+    base, fluid, solid = build_case(dx=dx, dtype=dtype)
+    grid = base.grid_f
+    c_max = eng_mod.round_to(c_max or grid.ncells, tile_c)
+    c_max_wall = eng_mod.round_to(grid.ncells, 32)
+    eng = BlockEngine(
+        grid=grid, kernel=base.kernel, eos=base.eos, riemann1=base.riemann,
+        riemann2=base.no_riemann, rho0=RHO0_F, sigma0=base.adaptation.sigma0,
+        h=base.adaptation.h, speed_ref=U_F, dim=2, mu=MU_F, tvc_coef=0.25,
+        tvc_limiter=None, free_surface=False, cap=cap, c_max=c_max,
+        tile_c=tile_c, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret, cap_ac_dt=True)
+
+    # trim the wall x-overhangs: the periodic wrap supplies those images
+    wx = _np.asarray(base.wall["Position"][:, 0])
+    wall_valid = jnp.asarray((wx >= -base.dl_sponge - 1e-9) & (wx < DL - 1e-9))
+    wall_valid = jnp.concatenate(
+        [wall_valid, jnp.ones((base.n_solid,), bool)], axis=0)
+
+    nw = base.n_wall
+    kernel, dim, h = base.kernel, 2, base.adaptation.h
+    w0 = kernel.w0(dim)
+    c0s = base.material_s.sound_speed
+
+    def wall_state_fn(aux):
+        so = aux["solid"]
+        wall = base.wall
+        z = jnp.zeros((nw, 2), dtype=wall["Position"].dtype)
+        return {
+            "Position": jnp.concatenate(
+                [wrap_positions(wall["Position"], grid),
+                 wrap_positions(so["Position"], grid)], axis=0),
+            "VolumetricMeasure": jnp.concatenate(
+                [wall["VolumetricMeasure"], so["VolumetricMeasure"]], axis=0),
+            "AverageVelocity": jnp.concatenate(
+                [z, so["AverageVelocity"]], axis=0),
+            "AverageAcceleration": jnp.concatenate(
+                [z, so["AverageAcceleration"]], axis=0),
+            "NormalDirection": jnp.concatenate(
+                [wall["NormalDirection"], so["NormalDirection"]], axis=0),
+        }
+
+    def post_prep(fb, aux, t):
+        # FSI viscous force on the insert + normal update (fsi2.cpp:216-219)
+        so = fsb.viscous_force_from_fluid_b(aux["solid"], fb, aux["sol_win"],
+                                            kernel, dim, MU_F, h, box=eng.box)
+        so = fsi.update_elastic_normal_direction(so)
+        return fb, dict(aux, solid=so)
+
+    def after_first_half(f, aux, dt, t):
+        so = fsb.pressure_force_from_fluid_b(aux["solid"], f, aux["sol_win"],
+                                             kernel, dim, base.riemann,
+                                             box=eng.box)
+        return f, dict(aux, solid=so)
+
+    def post_acoustic(f, aux, dt, t_next):
+        # solid sub-cycling (fsi2.cpp:233-246)
+        so = fsi.initialize_displacement(aux["solid"])
+
+        def s_cond(sc_):
+            _, ds_sum, _ = sc_
+            return ds_sum < dt
+
+        def s_body(sc_):
+            so_i, ds_sum, k = sc_
+            dt_s = jnp.minimum(sd.solid_acoustic_time_step(so_i, c0s, h),
+                               dt - ds_sum)
+            so_i = sd.integration_1st_half_pk2(so_i, base.rp, base.material_s,
+                                               dt_s, h, w0)
+            so_i = sd.fix_constraint(so_i, base.base_mask)
+            so_i = sd.integration_2nd_half(so_i, base.rp, dt_s)
+            return (so_i, ds_sum + dt_s, k + 1)
+
+        so, _, k_sub = jax.lax.while_loop(
+            s_cond, s_body,
+            (so, jnp.zeros_like(dt), jnp.zeros((), jnp.int32)))
+        so = fsi.update_average_velocity_acceleration(so, dt)
+        f = inflow_velocity_b(f, t_next, base.dl_sponge)
+        return f, dict(aux, solid=so, n_s=aux["n_s"] + k_sub)
+
+    def rebuild_aux(bm_f, aux):
+        dm_f = dense_cell_map(bm_f.occ_cells, grid.ncells, bm_f.c_max)
+        sol_win = fsb.solid_windows(aux["solid"]["Position"], grid, bm_f,
+                                    dm_f)
+        return dict(aux, sol_win=sol_win)
+
+    scene = sc.moving_wall_scene(
+        base, eng=eng, wall_state_fn=wall_state_fn, wall_valid=wall_valid,
+        c_max_wall=c_max_wall,
+        hooks=sc.Hooks(post_prep=post_prep, after_first_half=after_first_half,
+                       post_acoustic=post_acoustic, rebuild_aux=rebuild_aux),
+        wrap=True)
+    return scene, fluid, solid
+
+
+def init_block_sim(scene, fluid, solid):
+    from sphinxsys_tpu.engine import scene as sc
+
+    aux = {"solid": dict(solid), "sol_win": None,
+           "n_s": jnp.zeros((), jnp.int32)}
+    return sc.init_sim(scene, fluid, aux=aux)

@@ -193,3 +193,23 @@ def make_run_chunk(case: TaylorGreenCase):
                                   lambda st: _advection_step(case, st), s)
 
     return run_chunk
+
+
+def build_block_case(dx: float = 0.01, dtype=jnp.float32, cap: int = 12,
+                     c_max: int | None = None, use_pallas: bool = False,
+                     pallas_interpret: bool = False, tile_c: int = 256,
+                     relax_ic: int = 0):
+    """The same doubly-periodic scene on the cell-block / Pallas engine
+    (engine/scene.py).  The periodic box is fully occupied (every cell
+    holds particles); the Pallas path disables the sorted-order y-roll
+    shortcut because the last axis wraps (engine reads it off the grid)."""
+    from sphinxsys_tpu.engine import scene as sc
+
+    base, fluid = build_case(dx=dx, dtype=dtype, relax_ic=relax_ic)
+    scene = sc.standard_scene(
+        base, fluid, rho0=RHO0_F, speed_ref=U_F, dim=2, mu=MU_F,
+        tvc_coef=0.2, tvc_limiter=100.0, free_surface=False,
+        riemann2=base.no_riemann, cap=cap, c_max=c_max, tile_c=tile_c,
+        use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+        cap_ac_dt=True, wrap=True, wall_static=False)
+    return scene, fluid

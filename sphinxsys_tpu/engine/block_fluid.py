@@ -303,6 +303,39 @@ def acoustic_step(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt,
     return fb
 
 
+def acoustic_first_half(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt):
+    """1st half only (pressure relaxation) — for loops that couple other
+    bodies between the halves (FSI)."""
+    if eng.use_pallas:
+        return fbops.acoustic_step_1st_half_p2(
+            fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.eos,
+            eng.riemann1, dt, tile_c=eng.tile_c,
+            interpret=eng.pallas_interpret, box=eng.box, roll_y=eng.roll_y,
+            dim=eng.dim, wall_static=eng.wall_static,
+            window_chunks=eng.window_chunks)
+    walls = _jnp_walls(wc)
+    wall_b = walls[0][0] if walls else None
+    nbr_w = walls[0][1] if walls else None
+    return fbops.acoustic_step_1st_half_b(
+        fb, nbr_inner, eng.kernel, eng.dim, eng.eos, eng.riemann1, dt,
+        wall_b=wall_b, nbr_wall=nbr_w, box=eng.box)
+
+
+def acoustic_second_half(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt):
+    if eng.use_pallas:
+        return fbops.acoustic_step_2nd_half_p2(
+            fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.riemann2,
+            dt, tile_c=eng.tile_c, interpret=eng.pallas_interpret,
+            box=eng.box, roll_y=eng.roll_y, dim=eng.dim,
+            wall_static=eng.wall_static, window_chunks=eng.window_chunks)
+    walls = _jnp_walls(wc)
+    wall_b = walls[0][0] if walls else None
+    nbr_w = walls[0][1] if walls else None
+    return fbops.acoustic_step_2nd_half_b(
+        fb, nbr_inner, eng.kernel, eng.dim, eng.riemann2, dt,
+        wall_b=wall_b, nbr_wall=nbr_w, box=eng.box)
+
+
 def blocks_to_particles(eng: BlockEngine, fb, n: int, fields=None) -> dict:
     """Recover per-particle arrays (by OriginalID) for IO/observation."""
     fields = fields or eng.fluid_fields

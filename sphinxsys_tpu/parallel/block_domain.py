@@ -54,8 +54,6 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from sphinxsys_tpu.cases import dambreak_2d as db
-from sphinxsys_tpu.cases import dambreak_2d_block as dbb
 from sphinxsys_tpu.neighbors.cell_blocks import (
     build_block_map, cross_neighbor_blocks, from_blocks_packed,
     to_blocks_packed,
@@ -68,230 +66,12 @@ from sphinxsys_tpu.physics import fluid_blocks as fbops
 
 TINY = 1.0e-12
 
-HALO_FIELDS = ("Position", "Velocity", "Density", "DensityChangeRate",
-               "VolumetricMeasure")
-ALL_FIELDS = dbb._FLUID_FIELDS + ["OriginalID"]
-
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
-
-def make_distributed_block_dambreak_step(case: dbb.BlockCase, mesh: Mesh,
-                                         halo_cap: int = 256,
-                                         migrate_cap: int = 128,
-                                         c_max_loc: int | None = None):
-    """Distributed 2D dambreak on the block engine (use_pallas honored)."""
-    base = case.base
-    n_dev = mesh.devices.size
-    decomp = SlabDecomposition(
-        grid=base.grid, n_dev=n_dev, cutoff=base.adaptation.cutoff,
-        halo_cap=halo_cap, migrate_cap=migrate_cap, halo_fields=HALO_FIELDS)
-    kernel, dim = base.kernel, 2
-    h = base.adaptation.h
-    sigma0 = base.adaptation.sigma0
-    # local slab sees ~1/n_dev of the occupied cells (+ halo columns)
-    c_max = c_max_loc or _round_up(
-        max(case.c_max // n_dev + 4 * base.grid.shape[1], case.tile_c),
-        case.tile_c)
-    n_ghost = 2 * halo_cap
-    big = c_max * case.cap
-    oob = (c_max + 1) * case.cap    # out-of-bounds: drop target for scatters
-
-    def local_step(fluid, aux):
-        idx = jax.lax.axis_index(AXIS)
-        my_lo = decomp.lo + decomp.slab_width * idx
-        my_hi = my_lo + decomp.slab_width
-        right_edge = (idx == n_dev - 1)
-        left_edge = (idx == 0)
-
-        # ---- 1. migration in flat rows ----------------------------------
-        fluid, mig_ovf = migrate_rows(fluid, decomp, my_lo, my_hi,
-                                      right_edge, left_edge, ALL_FIELDS)
-        alive = fluid["Alive"]
-        pos = fluid["Position"]
-        n_loc = pos.shape[0]
-
-        # ---- 2. frozen halo bands + initial exchange --------------------
-        near_r = alive & (pos[:, 0] >= my_hi - decomp.cutoff)
-        near_l = alive & (pos[:, 0] < my_lo + decomp.cutoff)
-        hf = {k: fluid[k] for k in HALO_FIELDS}
-        ghost_l, ghost_r, halo_ovf = band_exchange(
-            hf, near_r, near_l, decomp, right_edge, left_edge)
-
-        # combined rows: [local | ghosts-from-left | ghosts-from-right]
-        comb = {}
-        for k in ALL_FIELDS:
-            v = fluid[k]
-            if k in HALO_FIELDS:
-                comb[k] = jnp.concatenate([v, ghost_l[k], ghost_r[k]], axis=0)
-            else:
-                fill = (jnp.iinfo(jnp.int32).max if k == "OriginalID" else
-                        1.0 if k in ("Mass", "VolumetricMeasure") else
-                        db.RHO0_F if k == "Density" else 0.0)
-                pad = jnp.full((n_ghost,) + v.shape[1:], fill, dtype=v.dtype)
-                comb[k] = jnp.concatenate([v, pad], axis=0)
-        comb["IsGhost"] = jnp.concatenate(
-            [jnp.zeros((n_loc,), pos.dtype), jnp.ones((n_ghost,), pos.dtype)])
-        comb_alive = jnp.concatenate([alive, ghost_l["BandAlive"] > 0.5,
-                                      ghost_r["BandAlive"] > 0.5])
-
-        # ---- 3. slot into blocks (inverse map kept for the refresh) -----
-        bm = build_block_map(comb["Position"], comb_alive, base.grid,
-                             cap=case.cap, c_max=c_max, with_inverse=True)
-        fills = dict(dbb._FILLS)
-        fills["OriginalID"] = jnp.iinfo(jnp.int32).max
-        fills["IsGhost"] = 1.0
-        fb = to_blocks_packed(bm, comb, fills)
-        fb["SlotMask"] = jnp.concatenate(
-            [bm.slot_mask.reshape(c_max, case.cap),
-             jnp.zeros((1, case.cap), bool)], axis=0)
-        nbr_inner = bm.nbr_block
-        nbr_wall = cross_neighbor_blocks(bm.occ_cells, base.grid,
-                                         case.bm_wall,
-                                         src_dense_map=case.wall_dense_map)
-
-        # frozen refresh maps: band rows -> their slots; ghost rows' slots
-        slot = bm.particle_slot                      # (n_loc + n_ghost,)
-        band_rows_r = jnp.nonzero(near_r, size=halo_cap,
-                                  fill_value=n_loc + n_ghost - 1)[0]
-        band_rows_l = jnp.nonzero(near_l, size=halo_cap,
-                                  fill_value=n_loc + n_ghost - 1)[0]
-        band_valid_r = jnp.arange(halo_cap) < jnp.sum(near_r)
-        band_valid_l = jnp.arange(halo_cap) < jnp.sum(near_l)
-        band_slots_r = jnp.where(band_valid_r, slot[band_rows_r], big)
-        band_slots_l = jnp.where(band_valid_l, slot[band_rows_l], big)
-        gslot_l = slot[n_loc:n_loc + halo_cap]       # ghosts from the LEFT
-        gslot_r = slot[n_loc + halo_cap:]
-        galive_l = ghost_l["BandAlive"] > 0.5
-        galive_r = ghost_r["BandAlive"] > 0.5
-        # route dead/overflowed slots out of bounds (mode="drop") so the
-        # sentinel block row is never clobbered
-        tgt_l = jnp.where(galive_l & (gslot_l < big), gslot_l, oob)
-        tgt_r = jnp.where(galive_r & (gslot_r < big), gslot_r, oob)
-
-        def refresh(fb_now):
-            out = dict(fb_now)
-            for k in HALO_FIELDS:
-                sh = fb_now[k].shape[2:]
-                flat = fb_now[k].reshape((-1,) + sh)
-                vals_r = flat[jnp.minimum(band_slots_r, flat.shape[0] - 1)]
-                vals_l = flat[jnp.minimum(band_slots_l, flat.shape[0] - 1)]
-                # band order on the wire == the frozen compaction order
-                # band_exchange used, so row j lands in ghost slot j
-                recv_l = _perm_shift(vals_r, n_dev, +1, decomp.periodic)
-                recv_r = _perm_shift(vals_l, n_dev, -1, decomp.periodic)
-                flat = flat.at[tgt_l].set(recv_l, mode="drop")
-                flat = flat.at[tgt_r].set(recv_r, mode="drop")
-                out[k] = flat.reshape(fb_now[k].shape)
-            return out
-
-        mask_loc = fb["SlotMask"] & (fb["IsGhost"] < 0.5)
-
-        # ---- 4. the advection step's physics, block layout --------------
-        accel_scale = 4.0 * h * jnp.linalg.norm(
-            fb["Force"] + fb["ForcePrior"], axis=-1) / jnp.maximum(
-                fb["Mass"], TINY)
-        v2 = jnp.sum(fb["Velocity"] ** 2, axis=-1)
-        red = jax.lax.pmax(jnp.max(jnp.where(
-            mask_loc, jnp.maximum(v2, accel_scale), 0.0)), AXIS)
-        dt_adv = 0.25 * h / (jnp.maximum(jnp.sqrt(red), db.U_REF) + TINY)
-
-        if case.use_pallas:
-            n_occ_cells = jnp.sum(jnp.any(fb["SlotMask"][:-1], axis=1)
-                                  .astype(jnp.int32))
-            wall_jt, wflags = fbops.pack_wall_t(
-                case.wall_b, nbr_wall, case.bm_wall.c_max, case.tile_c,
-                n_occ=n_occ_cells)
-            fb = fbops.density_summation_p2(
-                fb, nbr_inner, wall_jt, wflags, kernel, db.RHO0_F, sigma0,
-                tile_c=case.tile_c, interpret=case.pallas_interpret)
-        else:
-            fb = fbops.density_summation_b(
-                fb, nbr_inner, kernel, dim, db.RHO0_F, sigma0,
-                contacts=[(case.wall_b, nbr_wall, db.RHO0_F)],
-                free_surface=True)
-        fb = refresh(fb)
-
-        def ac_cond(carry):
-            _, rt, _ = carry
-            return rt < dt_adv
-
-        def ac_body(carry):
-            f, rt, k = carry
-            c_eos = base.eos.sound_speed(f["Pressure"], f["Density"])
-            speed = jnp.linalg.norm(f["Velocity"], axis=-1)
-            loc = jnp.max(jnp.where(mask_loc, c_eos + speed, 0.0))
-            dt = 0.6 * h / (jax.lax.pmax(loc, AXIS) + TINY)
-            if case.use_pallas:
-                f = fbops.acoustic_step_1st_half_p2(
-                    f, nbr_inner, wall_jt, wflags, kernel, base.eos,
-                    base.riemann, dt, tile_c=case.tile_c,
-                    interpret=case.pallas_interpret)
-                f = refresh(f)
-                f = fbops.acoustic_step_2nd_half_p2(
-                    f, nbr_inner, wall_jt, wflags, kernel, base.riemann, dt,
-                    tile_c=case.tile_c, interpret=case.pallas_interpret)
-            else:
-                f = fbops.acoustic_step_1st_half_b(
-                    f, nbr_inner, kernel, dim, base.eos, base.riemann, dt,
-                    wall_b=case.wall_b, nbr_wall=nbr_wall)
-                f = refresh(f)
-                f = fbops.acoustic_step_2nd_half_b(
-                    f, nbr_inner, kernel, dim, base.riemann, dt,
-                    wall_b=case.wall_b, nbr_wall=nbr_wall)
-            f = refresh(f)
-            return (f, rt + dt, k + 1)
-
-        fb, relax_t, n_ac = jax.lax.while_loop(
-            ac_cond, ac_body,
-            (fb, jnp.zeros_like(dt_adv), jnp.zeros((), jnp.int32)))
-
-        # ---- 5. flatten local rows back (one packed gather) -------------
-        flat, slot_valid = from_blocks_packed(bm, fb, ALL_FIELDS, n_loc)
-        out = dict(fluid)
-        for k in ALL_FIELDS:
-            out[k] = jnp.where(
-                slot_valid.reshape((-1,) + (1,) * (flat[k].ndim - 1)),
-                flat[k], fluid[k])
-        out["Position"] = jnp.where(alive[:, None], out["Position"], FAR)
-        out["Alive"] = alive
-        overflow = mig_ovf | halo_ovf | bm.overflow
-        return out, aux, relax_t, n_ac, overflow
-
-    @jax.jit
-    def step(sim: HaloShard) -> HaloShard:
-        fluid_specs = {k: P(AXIS) for k in sim.fluid}
-        aux_specs = jax.tree_util.tree_map(lambda _: P(), sim.aux)
-        out, aux, relax_t, n_ac, ovf = shard_map(
-            local_step, mesh=mesh,
-            in_specs=(fluid_specs, aux_specs),
-            out_specs=(fluid_specs, aux_specs, P(), P(), P()),
-            check_vma=False,
-        )(sim.fluid, sim.aux)
-        return HaloShard(fluid=out, time=sim.time + relax_t,
-                         n_adv=sim.n_adv + 1, n_ac=sim.n_ac + n_ac,
-                         overflow=sim.overflow | ovf, aux=aux)
-
-    return step
-
-
-def distribute_block_dambreak(case: dbb.BlockCase, fluid: dict, mesh: Mesh,
-                              n_loc: int | None = None) -> HaloShard:
-    """Partition the flat fluid state into per-slab shards (identity in
-    OriginalID for cross-run comparison)."""
-    from sphinxsys_tpu.parallel.domain import distribute
-
-    n_dev = mesh.devices.size
-    decomp = SlabDecomposition(grid=case.base.grid, n_dev=n_dev,
-                               cutoff=case.base.adaptation.cutoff)
-    st = {k: fluid[k] for k in dbb._FLUID_FIELDS}
-    st["OriginalID"] = jnp.arange(fluid["Position"].shape[0],
-                                  dtype=jnp.int32)
-    st["NReal"] = fluid["NReal"]
-    return distribute(st, mesh, decomp, n_loc=n_loc)
-
-
+HALO_FIELDS = ("Position", "Velocity", "Density", "DensityChangeRate",
+               "VolumetricMeasure")
 # ---------------------------------------------------------------------------
 # Generic distributed BlockEngine (VERDICT r3 item 7): any fluid case built
 # on engine/block_fluid.BlockEngine runs distributed with ZERO bespoke code

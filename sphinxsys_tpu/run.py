@@ -155,12 +155,7 @@ CASES = {
     "spinning_plate_2d": _run_single_fluid(
         "spinning_plate_2d", lambda c, s: {"SquareBody": s.plate},
         t_end=0.5),
-    "dambreak_3d_block": _run_single_fluid(
-        "dambreak_3d_block",
-        lambda c, s: {"WaterBody": __import__(
-            "sphinxsys_tpu.cases.dambreak_3d_block",
-            fromlist=["blocks_to_particles"]).blocks_to_particles(
-                c, s, c.base.n_fluid)}, t_end=6.0),
+    "dambreak_3d_block": None,  # bound below via _run_block
     "fsi2": _run_single_fluid(
         "fsi2",
         lambda c, s: {"WaterBody": s.fluid, "InsertedBody": s.solid,
@@ -217,25 +212,7 @@ CASES = {
     "turbulent_channel_2d": _run_single_fluid(
         "turbulent_channel_2d",
         lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=100.0),
-    "dambreak_2d_block": _run_single_fluid(
-        "dambreak_2d_block",
-        lambda c, s: {"WaterBody": __import__(
-            "sphinxsys_tpu.cases.dambreak_2d_block",
-            fromlist=["blocks_to_particles"]).blocks_to_particles(
-                c, s, c.base.n_fluid),
-            "Wall": c.base.wall}, t_end=20.0),
-    "taylor_green_2d_block": _run_single_fluid(
-        "taylor_green_2d_block",
-        lambda c, s: {"WaterBody": __import__(
-            "sphinxsys_tpu.cases.taylor_green_2d_block",
-            fromlist=["blocks_to_particles"]).blocks_to_particles(
-                c, s, c.base.n_fluid)}, t_end=5.0),
-    "fsi2_block": _run_single_fluid(
-        "fsi2_block",
-        lambda c, s: {"WaterBody": __import__(
-            "sphinxsys_tpu.cases.fsi2_block",
-            fromlist=["blocks_to_particles"]).blocks_to_particles(c, s)},
-        t_end=20.0),
+
     "diffusion_bcs_2d": _run_single_fluid(
         "diffusion_bcs_2d",
         lambda c, s: {"DiffusionBody": dict(s.body)}, t_end=1.0),
@@ -407,6 +384,47 @@ def _run_implicit_relaxation(cfg: RunConfig):
 
 
 CASES["implicit_relaxation_2d"] = _run_implicit_relaxation
+
+
+def _run_block(module_name: str, extra_bodies=None, t_end: float = 20.0,
+               fsi: bool = False):
+    """Adapter for the unified block-engine path: cases expose
+    build_block_case (engine/scene.py) — one scene, every engine."""
+
+    def runner(cfg: RunConfig):
+        from sphinxsys_tpu.engine import scene as sc
+
+        mod = importlib.import_module(f"sphinxsys_tpu.cases.{module_name}")
+        p = dict(cfg.parameters)
+        end = float(p.pop("t_end", t_end))
+        n_out = int(p.pop("n_output", 20))
+        if fsi:
+            scene, fluid, solid = mod.build_block_case(**p)
+            s = mod.init_block_sim(scene, fluid, solid)
+        else:
+            scene, fluid = mod.build_block_case(**p)
+            s = sc.init_sim(scene, fluid)
+        run = sc.make_run_chunk(scene)
+        for i in range(1, n_out + 1):
+            t0 = time.time()
+            s = run(s, jnp.asarray(i * end / n_out, s.time.dtype))
+            log.info("t=%.4f  (%.1fs)%s", float(s.time), time.time() - t0,
+                     "  OVERFLOW" if bool(s.overflow) else "")
+            if cfg.state_recording:
+                bodies = {"WaterBody": sc.blocks_to_particles(scene, s)}
+                if extra_bodies is not None:
+                    bodies.update(extra_bodies(scene, s))
+                _write_bodies(cfg, i, bodies)
+        return s
+
+    return runner
+
+
+CASES["dambreak_2d_block"] = _run_block(
+    "dambreak_2d", lambda sc_, s: {"Wall": sc_.base.wall}, t_end=20.0)
+CASES["dambreak_3d_block"] = _run_block("dambreak_3d", t_end=6.0)
+CASES["taylor_green_2d_block"] = _run_block("taylor_green_2d", t_end=5.0)
+CASES["fsi2_block"] = _run_block("fsi2", t_end=20.0, fsi=True)
 
 
 def _run_shell_relaxation(cfg: RunConfig):

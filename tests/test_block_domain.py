@@ -11,21 +11,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sphinxsys_tpu.cases import dambreak_2d_block as dbb
+from sphinxsys_tpu.cases import dambreak_2d as db
+from sphinxsys_tpu.engine import scene as sc
 from sphinxsys_tpu.parallel import block_domain as bd
 from sphinxsys_tpu.parallel.mesh import make_particle_mesh
 
 N_DEV = 8
 
 
-def _final_positions_single(case, fluid, n_steps):
-    s = dbb.init_sim(case, fluid)
-    step = dbb.make_advection_step(case)
+def _final_positions_single(scene, fluid, n_steps):
+    s = sc.init_sim(scene, fluid)
+    step = sc.make_advection_step(scene)
     for _ in range(n_steps):
         s = step(s)
     assert not bool(s.overflow)
     n = fluid["Position"].shape[0]
-    flat = dbb.blocks_to_particles(case, s, n)
+    flat = sc.blocks_to_particles(scene, s, n)
     return np.asarray(flat["Position"]), float(s.time), int(s.n_ac)
 
 
@@ -34,13 +35,14 @@ def test_block_domain_matches_single_device():
         import pytest
         pytest.skip("needs 8 virtual devices")
     mesh = make_particle_mesh(N_DEV)
-    case, fluid = dbb.build_case(dx=0.05, cap=12, tile_c=128)
+    scene, fluid = db.build_block_case(dx=0.05, cap=12, tile_c=128)
 
-    pos_ref, t_ref, nac_ref = _final_positions_single(case, fluid, 4)
+    pos_ref, t_ref, nac_ref = _final_positions_single(scene, fluid, 4)
 
-    hsim = bd.distribute_block_dambreak(case, fluid, mesh)
-    step = bd.make_distributed_block_dambreak_step(case, mesh, halo_cap=128,
-                                                   migrate_cap=64)
+    hsim = bd.distribute_block_engine(scene.eng, fluid, mesh)
+    step = bd.make_distributed_engine_step(
+        scene.eng, mesh, wall_b=scene.wall_b, bm_wall=scene.bm_wall,
+        wall_dense_map=scene.wall_dense_map, halo_cap=128, migrate_cap=64)
     n0 = int(jnp.sum(hsim.fluid["Alive"]))
     for _ in range(4):
         hsim = step(hsim)
@@ -61,7 +63,7 @@ def test_block_domain_matches_single_device():
     pos_by_id = np.zeros((n, 2))
     pos_by_id[ids] = pos
 
-    scale = case.base.grid.spacing[0] * case.base.grid.shape[0]
+    scale = scene.grid.spacing[0] * scene.grid.shape[0]
     err = np.abs(pos_by_id - pos_ref[:n]).max()
     assert err < 1e-3 * scale, f"max position error {err} vs scale {scale}"
 
@@ -73,10 +75,11 @@ def test_block_domain_conserves_and_stays_bounded_longer():
         import pytest
         pytest.skip("needs 8 virtual devices")
     mesh = make_particle_mesh(N_DEV)
-    case, fluid = dbb.build_case(dx=0.05, cap=12, tile_c=128)
-    hsim = bd.distribute_block_dambreak(case, fluid, mesh)
-    step = bd.make_distributed_block_dambreak_step(case, mesh, halo_cap=128,
-                                                   migrate_cap=64)
+    scene, fluid = db.build_block_case(dx=0.05, cap=12, tile_c=128)
+    hsim = bd.distribute_block_engine(scene.eng, fluid, mesh)
+    step = bd.make_distributed_engine_step(
+        scene.eng, mesh, wall_b=scene.wall_b, bm_wall=scene.bm_wall,
+        wall_dense_map=scene.wall_dense_map, halo_cap=128, migrate_cap=64)
     n0 = int(jnp.sum(hsim.fluid["Alive"]))
     fronts = []
     for _ in range(12):

@@ -1,6 +1,7 @@
-"""Generic block-engine tests (engine/block_fluid.py): the fast path must
-reproduce the gather engine on viscous + TVC + periodic cases, in both the
-XLA block form and the fused Pallas kernels (interpret mode on CPU)."""
+"""Generic block-engine tests (engine/block_fluid.py + engine/scene.py):
+the fast path must reproduce the gather engine on viscous + TVC +
+periodic + moving-wall FSI cases, in both the XLA block form and the
+fused Pallas kernels (interpret mode on CPU)."""
 
 import math
 
@@ -18,13 +19,14 @@ def _run_tg_gather(t_end, dx=0.025):
 
 
 def _run_tg_block(t_end, dx=0.025, **kw):
-    from sphinxsys_tpu.cases import taylor_green_2d_block as tgb
+    from sphinxsys_tpu.cases import taylor_green_2d as tg
+    from sphinxsys_tpu.engine import scene as sc
 
-    case, fluid = tgb.build_case(dx=dx, tile_c=32, **kw)
-    s = tgb.init_sim(case, fluid)
-    s = tgb.make_run_chunk(case)(s, jnp.asarray(t_end, s.time.dtype))
+    scene, fluid = tg.build_block_case(dx=dx, tile_c=32, **kw)
+    s = sc.init_sim(scene, fluid)
+    s = sc.make_run_chunk(scene)(s, jnp.asarray(t_end, s.time.dtype))
     assert not bool(s.overflow)
-    return case, s, tgb.blocks_to_particles(case, s, case.base.n_fluid)
+    return scene, s, sc.blocks_to_particles(scene, s)
 
 
 def test_taylor_green_block_matches_gather_engine():
@@ -70,79 +72,85 @@ def test_taylor_green_block_decay_tracks_analytic():
 
 def test_fsi2_block_matches_gather_engine():
     """fsi2 (viscous + TVC + x-periodic + moving FSI wall-contact + solid
-    sub-cycling) on the block engine == gather engine.  Uses float64: the
-    two engines are formulation-identical but sum in different orders, and
-    the bluff-body shear flow amplifies fp32 roundoff chaotically (f64
-    keeps the gap ~1e-9 where f32 reaches 1e-3 by t=0.2)."""
+    sub-cycling) on the generic scene runner == gather engine.  Uses
+    float64: the two engines are formulation-identical but sum in
+    different orders, and the bluff-body shear flow amplifies fp32
+    roundoff chaotically (f64 keeps the gap ~1e-9 where f32 reaches 1e-3
+    by t=0.2)."""
     from sphinxsys_tpu.cases import fsi2
-    from sphinxsys_tpu.cases import fsi2_block as f2b
+    from sphinxsys_tpu.engine import scene as sc
 
     t = 0.1
     case_g, fl_g, so_g = fsi2.build_case(dx=0.1, dtype=jnp.float64)
     sg = fsi2.init_sim(case_g, fl_g, so_g)
     sg = fsi2.make_run_chunk(case_g)(sg, jnp.asarray(t, sg.time.dtype))
 
-    case_b, fl_b, so_b = f2b.build_case(dx=0.1, tile_c=32,
-                                        dtype=jnp.float64)
-    sb = f2b.init_sim(case_b, fl_b, so_b)
-    sb = f2b.make_run_chunk(case_b)(sb, jnp.asarray(t, sb.time.dtype))
+    scene, fl_b, so_b = fsi2.build_block_case(dx=0.1, tile_c=32,
+                                              dtype=jnp.float64)
+    sb = fsi2.init_block_sim(scene, fl_b, so_b)
+    sb = sc.make_run_chunk(scene)(sb, jnp.asarray(t, sb.time.dtype))
     assert not bool(sb.overflow)
-    assert int(sg.n_ac) == int(sb.n_ac) and int(sg.n_s) == int(sb.n_s)
+    assert int(sg.n_ac) == int(sb.n_ac)
+    assert int(sg.n_s) == int(sb.aux["n_s"])
 
-    pb = f2b.blocks_to_particles(case_b, sb)
+    pb = sc.blocks_to_particles(scene, sb)
     np.testing.assert_allclose(np.asarray(sg.fluid["Velocity"]),
                                np.asarray(pb["Velocity"]), atol=1e-8)
     np.testing.assert_allclose(np.asarray(sg.solid["Position"]),
-                               np.asarray(sb.solid["Position"]), atol=1e-9)
+                               np.asarray(sb.aux["solid"]["Position"]),
+                               atol=1e-9)
 
 
 def test_fsi2_pallas_matches_block_engine():
     """The fused Pallas sweeps on fsi2 (x-periodic wrap + merged moving
     wall body) == the XLA block path (fp32, short horizon)."""
-    from sphinxsys_tpu.cases import fsi2_block as f2b
+    from sphinxsys_tpu.cases import fsi2
+    from sphinxsys_tpu.engine import scene as sc
 
     t = 0.08
-    case_a, fl_a, so_a = f2b.build_case(dx=0.1, tile_c=32)
-    sa = f2b.init_sim(case_a, fl_a, so_a)
-    sa = f2b.make_run_chunk(case_a)(sa, jnp.asarray(t, sa.time.dtype))
+    scene_a, fl_a, so_a = fsi2.build_block_case(dx=0.1, tile_c=32)
+    sa = fsi2.init_block_sim(scene_a, fl_a, so_a)
+    sa = sc.make_run_chunk(scene_a)(sa, jnp.asarray(t, sa.time.dtype))
 
-    case_b, fl_b, so_b = f2b.build_case(dx=0.1, tile_c=32, use_pallas=True,
-                                        pallas_interpret=True)
-    sb = f2b.init_sim(case_b, fl_b, so_b)
-    sb = f2b.make_run_chunk(case_b)(sb, jnp.asarray(t, sb.time.dtype))
+    scene_b, fl_b, so_b = fsi2.build_block_case(dx=0.1, tile_c=32,
+                                                use_pallas=True,
+                                                pallas_interpret=True)
+    sb = fsi2.init_block_sim(scene_b, fl_b, so_b)
+    sb = sc.make_run_chunk(scene_b)(sb, jnp.asarray(t, sb.time.dtype))
     assert not bool(sb.overflow)
     assert int(sa.n_ac) == int(sb.n_ac)
 
-    pa = f2b.blocks_to_particles(case_a, sa)
-    pb = f2b.blocks_to_particles(case_b, sb)
+    pa = sc.blocks_to_particles(scene_a, sa)
+    pb = sc.blocks_to_particles(scene_b, sb)
     np.testing.assert_allclose(np.asarray(pa["Velocity"]),
                                np.asarray(pb["Velocity"]), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(sa.solid["Position"]),
-                               np.asarray(sb.solid["Position"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sa.aux["solid"]["Position"]),
+                               np.asarray(sb.aux["solid"]["Position"]),
+                               atol=1e-5)
 
 
 def test_dambreak_3d_block_matches_gather_engine():
-    """The dim-generic block engine in 3D (27-window sweeps, cap 32) ==
+    """The dim-generic block engine in 3D (27-window sweeps, cap 48) ==
     the 3D gather engine over several dual-criteria advection steps."""
     import jax
     from sphinxsys_tpu.cases import dambreak_3d as db3
-    from sphinxsys_tpu.cases import dambreak_3d_block as dbb3
+    from sphinxsys_tpu.engine import scene as sc
 
     dx = 0.1
     case_g, fluid_g = db3.build_case(dx=dx)
     sg = db3.init_sim(case_g, fluid_g)
     step_g = jax.jit(lambda s: db3._advection_step(case_g, s))
 
-    case_b, fluid_b = dbb3.build_case(dx=dx, tile_c=32)
-    sb = dbb3.init_sim(case_b, fluid_b)
-    step_b = dbb3.make_advection_step(case_b)
+    scene, fluid_b = db3.build_block_case(dx=dx, tile_c=32, cap=48)
+    sb = sc.init_sim(scene, fluid_b)
+    step_b = sc.make_advection_step(scene)
 
     for _ in range(5):
         sg = step_g(sg)
         sb = step_b(sb)
     assert not bool(sb.overflow)
     assert int(sg.n_ac) == int(sb.n_ac)
-    pb = dbb3.blocks_to_particles(case_b, sb, case_b.base.n_fluid)
+    pb = sc.blocks_to_particles(scene, sb)
     np.testing.assert_allclose(np.asarray(sg.fluid["Position"]),
                                np.asarray(pb["Position"]), atol=5e-5)
     np.testing.assert_allclose(np.asarray(sg.fluid["Velocity"]),
@@ -152,24 +160,26 @@ def test_dambreak_3d_block_matches_gather_engine():
 def test_dambreak_3d_pallas_matches_block_engine():
     """The dim-generic fused Pallas sweeps (27 windows, static-wall
     7-channel tensor) == the 3D XLA block path (interpret mode)."""
-    from sphinxsys_tpu.cases import dambreak_3d_block as dbb3
+    from sphinxsys_tpu.cases import dambreak_3d as db3
+    from sphinxsys_tpu.engine import scene as sc
 
-    case_a, fluid_a = dbb3.build_case(dx=0.1, tile_c=32)
-    sa = dbb3.init_sim(case_a, fluid_a)
-    step_a = dbb3.make_advection_step(case_a)
+    scene_a, fluid_a = db3.build_block_case(dx=0.1, tile_c=32, cap=48)
+    sa = sc.init_sim(scene_a, fluid_a)
+    step_a = sc.make_advection_step(scene_a)
 
-    case_b, fluid_b = dbb3.build_case(dx=0.1, tile_c=32, use_pallas=True,
-                                      pallas_interpret=True)
-    sb = dbb3.init_sim(case_b, fluid_b)
-    step_b = dbb3.make_advection_step(case_b)
+    scene_b, fluid_b = db3.build_block_case(dx=0.1, tile_c=32, cap=48,
+                                            use_pallas=True,
+                                            pallas_interpret=True)
+    sb = sc.init_sim(scene_b, fluid_b)
+    step_b = sc.make_advection_step(scene_b)
 
     for _ in range(3):
         sa = step_a(sa)
         sb = step_b(sb)
     assert not bool(sb.overflow)
     assert int(sa.n_ac) == int(sb.n_ac)
-    pa = dbb3.blocks_to_particles(case_a, sa, case_a.base.n_fluid)
-    pb = dbb3.blocks_to_particles(case_b, sb, case_b.base.n_fluid)
+    pa = sc.blocks_to_particles(scene_a, sa)
+    pb = sc.blocks_to_particles(scene_b, sb)
     np.testing.assert_allclose(np.asarray(pa["Velocity"]),
                                np.asarray(pb["Velocity"]), atol=5e-5)
     np.testing.assert_allclose(np.asarray(pa["Density"]),

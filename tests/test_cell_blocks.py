@@ -104,22 +104,22 @@ def test_dambreak_block_matches_gather_engine():
     """The block engine must reproduce the gather engine to fp32 roundoff
     (same math, different summation layout)."""
     from sphinxsys_tpu.cases import dambreak_2d as db
-    from sphinxsys_tpu.cases import dambreak_2d_block as dbb
+    from sphinxsys_tpu.engine import scene as sc
     from sphinxsys_tpu.physics import general as gd
 
     case_g, fluid_g = db.build_case(dx=0.1)
     sg = db.init_sim(case_g, fluid_g)
     sg = db.make_run_chunk(case_g)(sg, jnp.asarray(0.5, sg.time.dtype))
 
-    case_b, fluid_b0 = dbb.build_case(dx=0.1)
-    sb = dbb.init_sim(case_b, fluid_b0)
-    sb = dbb.make_run_chunk(case_b)(sb, jnp.asarray(0.5, sb.time.dtype))
+    scene, fluid_b0 = db.build_block_case(dx=0.1)
+    sb = sc.init_sim(scene, fluid_b0)
+    sb = sc.make_run_chunk(scene)(sb, jnp.asarray(0.5, sb.time.dtype))
     assert not bool(sb.overflow)
     assert int(sg.n_ac) == int(sb.n_ac)
 
-    pg = dbb.blocks_to_particles(case_b, sb, case_b.base.n_fluid)
+    pg = sc.blocks_to_particles(scene, sb)
     eg = float(gd.total_mechanical_energy(sg.fluid, case_g.gravity))
-    eb = float(gd.total_mechanical_energy(pg, case_b.base.gravity))
+    eb = float(gd.total_mechanical_energy(pg, scene.base.gravity))
     assert abs(eb - eg) / abs(eg) < 1e-5
     xg = np.sort(np.asarray(sg.fluid["Position"][: case_g.n_fluid, 0]))
     xb = np.sort(np.asarray(pg["Position"][:, 0]))
@@ -134,13 +134,14 @@ def test_pallas_v2_acoustic_steps_match_block_engine():
     import jax.numpy as jnp
     import numpy as np
 
-    from sphinxsys_tpu.cases import dambreak_2d_block as dbb
+    from sphinxsys_tpu.cases import dambreak_2d as db
+    from sphinxsys_tpu.engine import scene as sc
     from sphinxsys_tpu.physics import fluid_blocks as fbops
 
-    case, fluid = dbb.build_case(dx=0.1, tile_c=32)
-    sim = dbb.init_sim(case, fluid)
+    case, fluid = db.build_block_case(dx=0.1, tile_c=32)
+    sim = sc.init_sim(case, fluid)
     # advance a few steps so pressures/velocities are nontrivial
-    sim = dbb.make_run_chunk(case)(sim, jnp.asarray(0.05, sim.time.dtype))
+    sim = sc.make_run_chunk(case)(sim, jnp.asarray(0.05, sim.time.dtype))
     fb = sim.fluid_b
     base = case.base
     kernel, dim = base.kernel, 2
@@ -154,10 +155,11 @@ def test_pallas_v2_acoustic_steps_match_block_engine():
         wall_b=case.wall_b, nbr_wall=sim.nbr_wall)
 
     wall_jt, wflags = jax.jit(lambda: fbops.pack_wall_t(
-        case.wall_b, sim.nbr_wall, case.bm_wall.c_max, case.tile_c))()
+        case.wall_b, sim.nbr_wall, case.bm_wall.c_max, case.eng.tile_c,
+        wall_static=True))()
     got1 = fbops.acoustic_step_1st_half_p2(
         fb, sim.nbr_inner, wall_jt, wflags, kernel, base.eos, base.riemann,
-        dt, tile_c=case.tile_c, interpret=True)
+        dt, tile_c=case.eng.tile_c, interpret=True, wall_static=True)
     mask = np.asarray(fb["SlotMask"])
     for k in ("Force", "DensityChangeRate", "Velocity", "Density", "Pressure"):
         a, b = np.asarray(ref1[k]), np.asarray(got1[k])
@@ -166,7 +168,7 @@ def test_pallas_v2_acoustic_steps_match_block_engine():
 
     got2 = fbops.acoustic_step_2nd_half_p2(
         got1, sim.nbr_inner, wall_jt, wflags, kernel, base.riemann, dt,
-        tile_c=case.tile_c, interpret=True)
+        tile_c=case.eng.tile_c, interpret=True, wall_static=True)
     for k in ("Force", "DensityChangeRate", "Density", "Position"):
         a, b = np.asarray(ref2[k]), np.asarray(got2[k])
         np.testing.assert_allclose(a[mask], b[mask], rtol=2e-5, atol=1e-5,
@@ -179,18 +181,19 @@ def test_pallas_v2_case_runs_interpreted():
     import jax.numpy as jnp
     import numpy as np
 
-    from sphinxsys_tpu.cases import dambreak_2d_block as dbb
+    from sphinxsys_tpu.cases import dambreak_2d as db
+    from sphinxsys_tpu.engine import scene as sc
 
-    case_a, fluid_a = dbb.build_case(dx=0.1, tile_c=32)
-    sim_a = dbb.init_sim(case_a, fluid_a)
-    case_b, fluid_b = dbb.build_case(dx=0.1, tile_c=32, use_pallas=True,
-                                     pallas_interpret=True)
-    sim_b = dbb.init_sim(case_b, fluid_b)
+    case_a, fluid_a = db.build_block_case(dx=0.1, tile_c=32)
+    sim_a = sc.init_sim(case_a, fluid_a)
+    case_b, fluid_b = db.build_block_case(dx=0.1, tile_c=32, use_pallas=True,
+                                          pallas_interpret=True)
+    sim_b = sc.init_sim(case_b, fluid_b)
     t = jnp.asarray(0.08, sim_a.time.dtype)
-    out_a = dbb.make_run_chunk(case_a)(sim_a, t)
-    out_b = dbb.make_run_chunk(case_b)(sim_b, t)
+    out_a = sc.make_run_chunk(case_a)(sim_a, t)
+    out_b = sc.make_run_chunk(case_b)(sim_b, t)
     assert not bool(out_b.overflow)
-    pa = dbb.blocks_to_particles(case_a, out_a, case_a.base.n_fluid)
-    pb = dbb.blocks_to_particles(case_b, out_b, case_b.base.n_fluid)
+    pa = sc.blocks_to_particles(case_a, out_a)
+    pb = sc.blocks_to_particles(case_b, out_b)
     np.testing.assert_allclose(np.asarray(pa["Position"]),
                                np.asarray(pb["Position"]), atol=5e-5)

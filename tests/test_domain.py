@@ -207,14 +207,15 @@ def test_block_engine_generic_distributed_3d(mesh8):
     make_distributed_engine_step) — the 3D dambreak runs distributed with
     ZERO case-specific distribution code, matched-step parity vs the
     single-device block engine."""
-    from sphinxsys_tpu.cases import dambreak_3d_block as dbb3
+    from sphinxsys_tpu.cases import dambreak_3d as db3
+    from sphinxsys_tpu.engine import scene as sc
     from sphinxsys_tpu.parallel import block_domain as bdm
 
-    case, fluid = dbb3.build_case(dx=0.1, tile_c=32)
+    case, fluid = db3.build_block_case(dx=0.1, tile_c=32)
     n_real = int(fluid["NReal"])
 
-    sim_s = dbb3.init_sim(case, fluid)
-    step_s = dbb3.make_advection_step(case)
+    sim_s = sc.init_sim(case, fluid)
+    step_s = sc.make_advection_step(case)
 
     sim_d = bdm.distribute_block_engine(case.eng, fluid, mesh8)
     step_d = bdm.make_distributed_engine_step(
@@ -233,7 +234,7 @@ def test_block_engine_generic_distributed_3d(mesh8):
                                rtol=1e-6)
 
     got = _gather_by_id(sim_d.fluid, n_real)
-    ps = dbb3.blocks_to_particles(case, sim_s, n_real)
+    ps = sc.blocks_to_particles(case, sim_s, n_real)
     want_pos = np.asarray(ps["Position"])[:n_real]
     want_vel = np.asarray(ps["Velocity"])[:n_real]
     scale = np.abs(want_pos).max()
