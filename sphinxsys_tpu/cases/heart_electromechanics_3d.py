@@ -103,11 +103,15 @@ class HeartCase:
         return self is other
 
 
-def _face_normal(p: np.ndarray) -> np.ndarray:
-    """Outward transmural direction: the gradient direction of the
-    ellipsoid family through p (exact for confocal scaling; the
-    reference probes the level-set normal, excitation_contraction.h:135)."""
-    ax = np.asarray(OUTER)
+def _face_normal(p: np.ndarray, axes=None) -> np.ndarray:
+    """Outward transmural direction: the gradient direction of the given
+    ellipsoid family through p (the reference probes the level-set
+    normal, excitation_contraction.h:135).  Pass axes=INNER for
+    endocardial-surface normals — inner (0.7,0.7,1.25) is NOT a confocal
+    scaling of outer (1,1,1.5), so the outer family's gradient is tilted
+    on the inner surface (ADVICE r4: it biased the Nanson cavity
+    flow-rate integral)."""
+    ax = np.asarray(OUTER if axes is None else axes)
     n = p / ax[None, :] ** 2
     return n / (np.linalg.norm(n, axis=1, keepdims=True) + 1e-15)
 
@@ -203,7 +207,7 @@ def build_case(dx: float = 0.12, dtype=jnp.float32, k_inner: int = 72,
 
     # endocardial surface measures (SurfaceOperationsVentricle
     # init_srf_area: layer area = particle volume / spacing)
-    endo_n0 = jnp.asarray(_face_normal(p), dtype)
+    endo_n0 = jnp.asarray(_face_normal(p, axes=INNER), dtype)
     endo_da0 = jnp.asarray(np.broadcast_to(np.asarray(vol) / dx, (n,)), dtype)
 
     model = df.AlievPanfilowModel(k_a=k_a)
@@ -211,10 +215,8 @@ def build_case(dx: float = 0.12, dtype=jnp.float32, k_inner: int = 72,
 
     h = adaptation.h
     dt_d = df.diffusion_time_step(h, diffusion, 3)
-    # the Holzapfel exponentials raise the tangent stiffness far above
-    # the bulk-based sound speed once the active stress loads the fibers
-    # (the reference uses the per-particle adaptive AcousticTimeStep);
-    # mech_cfl_factor covers the stiffened-regime wave speed
+    # mech_cfl_factor survives as a velocity-term floor only; the subloop
+    # now uses the reference's adaptive solid AcousticTimeStep (ADVICE r4)
     c0 = material.sound_speed * mech_cfl_factor
     dt_s = 0.5 * h / c0
     n_mech_sub = max(1, int(np.ceil(dt_d / dt_s)))
@@ -261,13 +263,28 @@ def _step(case: HeartCase, s: Sim) -> Sim:
         S2 = mat.stress_PK2_local(F, solid["Fiber"], solid["Sheet"])
         return F @ (S2 + active(solid, F))
 
-    def mech_sub(_, m):
-        m = sd.integration_1st_half_pk2(m, case.rp, mat, dt_s, h, w0,
+    # adaptive sub-cycling (reference solid AcousticTimeStep: the
+    # acceleration term tracks the Holzapfel stiffened-regime wave speed
+    # that a fixed multiplier can only guess at — ADVICE r4); dt_s above
+    # remains the per-substep CAP so the compiled loop keeps a bound
+    def s_cond(c):
+        _, acc = c
+        return acc < dt
+
+    def s_body(c):
+        m, acc = c
+        dt_i = jnp.minimum(
+            jnp.minimum(sd.solid_acoustic_time_step(m, mat.sound_speed, h),
+                        jnp.asarray(dt_s, dt.dtype)),
+            dt - acc)
+        m = sd.integration_1st_half_pk2(m, case.rp, mat, dt_i, h, w0,
                                         pk1_fn=pk1)
         m = sd.fix_constraint(m, case.base_mask)
-        return sd.integration_2nd_half(m, case.rp, dt_s)
+        m = sd.integration_2nd_half(m, case.rp, dt_i)
+        return (m, acc + dt_i)
 
-    myo = jax.lax.fori_loop(0, case.n_mech_sub, mech_sub, myo)
+    myo, _ = jax.lax.while_loop(s_cond, s_body,
+                                (myo, jnp.zeros_like(dt)))
     q = cavity_flow_rate(case, myo)
     return Sim(myo=myo, dv=s.dv + q * dt, q=q, time=s.time + dt,
                n_steps=s.n_steps + 1)

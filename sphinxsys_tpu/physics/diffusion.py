@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Dict, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from sphinxsys_tpu.core.state import State
@@ -48,8 +49,13 @@ class IsotropicDiffusion:
 
 @dataclasses.dataclass(frozen=True)
 class DirectionalDiffusion:
-    """D = d I + d_bias f f^T; effective pair coefficient e.D.e
-    (the Cholesky-transformed norm of the reference equals this for SPD D)."""
+    """D = d I + d_bias f f^T; pair coefficient 1/|T e|^2 with T the
+    inverse Cholesky factor of D (diffusion_reaction.h:190-194), i.e.
+    EXACTLY 1/(e^T D^-1 e).  Closed form via Sherman-Morrison:
+    e^T D^-1 e = (1/d)(1 - beta/(d+beta) (e.f)^2) for unit e, f —
+    coeff = d+beta along the fiber, d across it, and the inverse-metric
+    interpolation (NOT the quadratic form d + beta (e.f)^2, which agrees
+    only at the principal directions) at oblique angles."""
 
     d_coeff: float
     bias_coeff: float
@@ -58,7 +64,8 @@ class DirectionalDiffusion:
     def inter_particle_coeff(self, e_ij, fiber_i=None, fiber_j=None):
         f = jnp.asarray(self.bias_direction, dtype=e_ij.dtype)
         proj = jnp.sum(e_ij * f, axis=-1)
-        return self.d_coeff + self.bias_coeff * proj * proj
+        d, b = self.d_coeff, self.bias_coeff
+        return d / (1.0 - (b / (d + b)) * proj * proj)
 
     @property
     def reference_diffusivity(self) -> float:
@@ -68,12 +75,14 @@ class DirectionalDiffusion:
 @dataclasses.dataclass(frozen=True)
 class LocalDirectionalDiffusion:
     """Diffusion biased along a PER-PARTICLE fiber field
-    (LocalDirectionalDiffusion, materials/diffusion_reaction.h:212-242):
+    (LocalDirectionalDiffusion, materials/diffusion_reaction.h:236-242):
     D_i = d I + d_bias f_i f_i^T.  The reference averages the two
-    particles' inverse-Cholesky transforms and returns
-    1/|T_avg e|^2; for SPD D both conventions agree to discretization
-    order — here the pair coefficient is the mean of the two sides'
-    quadratic forms: d + 0.5 d_bias ((e.f_i)^2 + (e.f_j)^2).
+    particles' inverse-Cholesky transforms T_i = chol(D_i)^-1 and returns
+    1/|0.5 (T_i + T_j) e|^2 — reproduced here exactly: per-pair batched
+    Cholesky of the (dim, dim) tensors, triangular inverse, element-wise
+    average, quadratic form.  (The naive mean of the two quadratic forms
+    d + 0.5 d_bias ((e.f_i)^2 + (e.f_j)^2) agrees only along principal
+    fiber directions and overestimates oblique conduction — ADVICE r4.)
 
     `fiber_key` names the per-particle direction array in the state;
     diffusion_step gathers it when the diffusion object carries this
@@ -83,12 +92,23 @@ class LocalDirectionalDiffusion:
     bias_coeff: float
     fiber_key: str = "Fiber"
 
+    def _inv_chol(self, f):
+        """T = chol(d I + b f f^T)^-1 for a (..., dim) fiber stack."""
+        dim = f.shape[-1]
+        eye = jnp.eye(dim, dtype=f.dtype)
+        D = self.d_coeff * eye + self.bias_coeff * (f[..., :, None]
+                                                    * f[..., None, :])
+        L = jnp.linalg.cholesky(D)
+        return jax.scipy.linalg.solve_triangular(
+            L, jnp.broadcast_to(eye, L.shape), lower=True)
+
     def inter_particle_coeff(self, e_ij, fiber_i=None, fiber_j=None):
         if fiber_i is None:
             return self.d_coeff + 0.5 * self.bias_coeff
-        pi = jnp.sum(e_ij * fiber_i[:, None, :], axis=-1)
-        pj = jnp.sum(e_ij * fiber_j, axis=-1)
-        return self.d_coeff + 0.5 * self.bias_coeff * (pi * pi + pj * pj)
+        T_avg = 0.5 * (self._inv_chol(fiber_i)[:, None] +
+                       self._inv_chol(fiber_j))
+        g = jnp.einsum("...ij,...j->...i", T_avg, e_ij)
+        return 1.0 / (jnp.sum(g * g, axis=-1) + TINY)
 
     @property
     def reference_diffusivity(self) -> float:

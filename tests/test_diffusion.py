@@ -266,3 +266,36 @@ def test_neumann_bc_vs_reference_ensemble_db():
     mean, _ = e.read_db()
     rel = np.abs(ours - mean) / np.maximum(np.abs(mean), 1.0)
     assert rel.max() < 0.05, f"max rel dev {rel.max():.4f}"
+
+
+def test_directional_diffusion_inverse_metric_form():
+    """The pair coefficient is 1/(e^T D^-1 e) (reference inverse-Cholesky
+    transform, diffusion_reaction.h:190-194): d+b along the fiber, d
+    across, and BELOW the naive quadratic form d + b (e.f)^2 at oblique
+    angles (harmonic-type interpolation)."""
+    import numpy as np
+    from sphinxsys_tpu.physics.diffusion import (DirectionalDiffusion,
+                                                 LocalDirectionalDiffusion)
+
+    d, b = 1.0, 4.0
+    dd = DirectionalDiffusion(d_coeff=d, bias_coeff=b,
+                              bias_direction=(1.0, 0.0))
+    e_along = jnp.asarray([[1.0, 0.0]])
+    e_across = jnp.asarray([[0.0, 1.0]])
+    e_45 = jnp.asarray([[2 ** -0.5, 2 ** -0.5]])
+    assert abs(float(dd.inter_particle_coeff(e_along)[0]) - (d + b)) < 1e-6
+    assert abs(float(dd.inter_particle_coeff(e_across)[0]) - d) < 1e-6
+    c45 = float(dd.inter_particle_coeff(e_45)[0])
+    quad = d + b * 0.5
+    # oblique: inverse-metric < quadratic form
+    assert c45 < quad
+    Dm = np.array([[d + b, 0.0], [0.0, d]])
+    e = np.array([2 ** -0.5, 2 ** -0.5])
+    assert abs(c45 - 1.0 / (e @ np.linalg.inv(Dm) @ e)) < 1e-6
+
+    # local variant with equal fibers must reduce to the global form
+    ld = LocalDirectionalDiffusion(d_coeff=d, bias_coeff=b)
+    f_i = jnp.asarray([[1.0, 0.0]])
+    f_j = jnp.asarray([[[1.0, 0.0]]])
+    c_loc = float(np.ravel(ld.inter_particle_coeff(e_45[None], f_i, f_j))[0])
+    assert abs(c_loc - c45) < 1e-5
