@@ -101,10 +101,11 @@ def run_three_ring():
     case, s = tri.build_case()
     run = tri.make_run_chunk(case)
     t_end = 1.0                       # reference end_time (100 snaps)
-    out = [tri.observer_point(case, s)]
+    p0 = tri.observer_point(case, s)
+    out = [np.zeros(2)]               # the DB records DISPLACEMENT
     for k in range(1, 100):
         s = run(s, jnp.asarray(k * t_end / 100, s.time.dtype))
-        out.append(tri.observer_point(case, s))
+        out.append(np.asarray(tri.observer_point(case, s)) - np.asarray(p0))
     dtw_report("three-ring", REF2, "test_2d_three_ring_impact", "Observer",
                "Position", out)
 

@@ -201,7 +201,7 @@ def corrected_almansi_strain(almansi, nu, dim: int):
 
 
 def make_shell_state(pos, normal, spacing: float, thickness: float, material,
-                     dtype=jnp.float32) -> State:
+                     dtype=jnp.float32, volume=None) -> State:
     """Shell particle state (SurfaceParticles variables,
     surface_particles.cpp:28-43): VolumetricMeasure is the MID-SURFACE
     measure spacing^(d-1) — no thickness factor (the shell case generators
@@ -212,7 +212,9 @@ def make_shell_state(pos, normal, spacing: float, thickness: float, material,
 
     pos = np.asarray(pos)
     n, dim = pos.shape
-    vol = spacing ** (dim - 1)
+    # `volume` overrides the lattice measure (CVT generators use
+    # total_area / n, test_3d_shell_stability_half_sphere.cpp:132)
+    vol = spacing ** (dim - 1) if volume is None else volume
     state = dict(make_base_state(pos, vol, material.rho0, dtype=dtype))
     # Mass carries the thickness factor (surface_particles.h:52
     # ParticleVolume = Vol * thickness): VolumetricMeasure stays the

@@ -361,6 +361,18 @@ CASES["pulsatile_poiseuille_2d"] = _run_single_fluid(
     "pulsatile_poiseuille_2d",
     lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=10.0)
 
+CASES["muscle_solid_contact_3d"] = _run_single_fluid(
+    "muscle_solid_contact_3d",
+    lambda c, s: {"MyocardiumBody": s.myo, "MovingPlate": s.plate},
+    t_end=0.1)
+
+CASES["twisting_rigid_elastic_bar_3d"] = _run_single_fluid(
+    "twisting_rigid_elastic_bar_3d", lambda c, s: {"Bar": s.bar}, t_end=5.0)
+
+CASES["shell_stability_half_sphere_3d"] = _run_single_fluid(
+    "shell_stability_half_sphere_3d", lambda c, s: {"Shell": s.shell},
+    t_end=0.5)
+
 CASES["three_ring_impact_2d"] = _run_single_fluid(
     "three_ring_impact_2d",
     lambda c, s: {"RingL": s.ring_l, "RingM": s.ring_m, "RingS": s.ring_s},
