@@ -108,7 +108,12 @@ class FSICase:
 
 
 def build_case(dx: float = 0.1, dtype=jnp.float32, cell_cap: int = 24,
-               k_inner: int = 64, k_contact: int = 40):
+               k_inner: int = 64, k_contact: int = 40,
+               relax_insert: int = 0):
+    """`relax_insert` > 0: body-fitted insert IC — the reference's
+    RunParticleRelaxation/ReloadParticles branch (fsi2.cpp:52-99)
+    relaxes the cylinder+beam particle distribution before the run;
+    pass the relaxation iteration count (reference default 1000)."""
     adaptation = SPHAdaptation(spacing=dx, dim=2)
     dl_sponge = dx * 20.0
     bw = dx * 4.0
@@ -131,6 +136,16 @@ def build_case(dx: float = 0.1, dtype=jnp.float32, cell_cap: int = 24,
     pos_f, vol = generate_lattice(water_shape, dom_lo, dom_hi, dx)
     pos_w, _ = generate_lattice(wall_shape, dom_lo, dom_hi, dx)
     pos_s, _ = generate_lattice(insert_shape, dom_lo, dom_hi, dx)
+    if relax_insert:
+        from sphinxsys_tpu.neighbors import grid_from_bounds as _gfb
+        from sphinxsys_tpu.physics import relax as rx
+        pad = 6 * dx
+        grid_rx = _gfb((CYL_CENTER[0] - CYL_R - pad, CYL_CENTER[1] - CYL_R - pad),
+                       (CYL_CENTER[0] + CYL_R + BL + pad,
+                        CYL_CENTER[1] + CYL_R + pad), adaptation.cutoff)
+        pos_s = np.asarray(rx.relax_shape(
+            insert_shape, jnp.asarray(pos_s), vol, adaptation, grid_rx,
+            n_iterations=relax_insert, cell_cap=cell_cap, k_max=k_inner))
 
     fluid = make_fluid_state(pos_f, vol, RHO0_F, dtype=dtype)
     fluid = dict(fluid)
