@@ -266,6 +266,8 @@ def block_kwargs_from_env() -> dict:
         kw["cap_wall"] = int(os.environ["BENCH_CAPW"])
     if os.environ.get("BENCH_WCHUNKS"):
         kw["window_chunks"] = int(os.environ["BENCH_WCHUNKS"])
+    if os.environ.get("BENCH_WALLCHUNKS"):
+        kw["wall_chunks"] = int(os.environ["BENCH_WALLCHUNKS"])
     return kw
 
 
@@ -302,7 +304,8 @@ def main() -> None:
     ]
     if not os.environ.get("BENCH_SKIP_4M"):
         configs.append(("dambreak_3d", 0.00625,
-                        {"cap": 32, "c_max": 480_000, "window_chunks": 9}))
+                        {"cap": 32, "c_max": 480_000, "window_chunks": 9,
+                         "wall_chunks": 9}))
 
     results, errors = [], []
     for case_name, dx, kw in configs:

@@ -62,6 +62,8 @@ class WallCtx(NamedTuple):
     nbr_wall: Any     # (C_fluid, 3^dim) int32 window block rows
     wall_jt: Any      # (9, 9, CAPW, C) transposed Pallas tensor (or None)
     wflags: Any       # per-tile scalar-prefetch flags
+    wall_packed: Any = None   # compact (Cw+1, CAPW, CH) packing when the
+                              # wall tensor is window-chunked (HBM regime)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +94,8 @@ class BlockEngine:
                                # (Pallas path only; big HBM win in 3D)
     window_chunks: int = 1     # >1: never materialize the full inner
                                # j-window tensor (large-N HBM discipline)
+    wall_chunks: int = 1       # >1: same for the WALL window tensor (the
+                               # full form is ~10.8 GB at 4.1M particles)
 
     @property
     def box(self):
@@ -179,6 +183,12 @@ def make_wall_ctx(eng: BlockEngine, wall_b, nbr_wall, bm_wall,
     XLA block path)."""
     if not eng.use_pallas:
         return WallCtx(wall_b, nbr_wall, None, None)
+    if eng.wall_chunks > 1:
+        packed = fbops.pack_wall_channels(wall_b, wall_static=eng.wall_static)
+        from sphinxsys_tpu.ops import pallas_block2 as _pb2
+        wflags = _pb2.wall_flags(nbr_wall, bm_wall.c_max, eng.tile_c,
+                                 n_occ=n_occ)
+        return WallCtx(wall_b, nbr_wall, None, wflags, wall_packed=packed)
     wall_jt, wflags = fbops.pack_wall_t(wall_b, nbr_wall, bm_wall.c_max,
                                         eng.tile_c, n_occ=n_occ,
                                         wall_static=eng.wall_static)
@@ -216,7 +226,8 @@ def advection_prep(eng: BlockEngine, fb, nbr_inner, wc: WallCtx):
             eng.sigma0, tile_c=eng.tile_c, interpret=eng.pallas_interpret,
             free_surface=eng.free_surface, box=eng.box, roll_y=eng.roll_y,
             dim=eng.dim, wall_static=eng.wall_static,
-            window_chunks=eng.window_chunks)
+            window_chunks=eng.window_chunks, wall_packed=wc.wall_packed,
+            nbr_wall=wc.nbr_wall, wall_chunks=eng.wall_chunks)
         if eng.mu > 0.0 or eng.tvc_coef > 0.0:
             fb = fbops.visc_tvc_p2(
                 fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.dim,
@@ -225,7 +236,8 @@ def advection_prep(eng: BlockEngine, fb, nbr_inner, wc: WallCtx):
                 interpret=eng.pallas_interpret, box=eng.box,
                 roll_y=eng.roll_y, do_viscous=eng.mu > 0.0,
                 do_tvc=eng.tvc_coef > 0.0, wall_static=eng.wall_static,
-                window_chunks=eng.window_chunks)
+                window_chunks=eng.window_chunks, wall_packed=wc.wall_packed,
+                nbr_wall=wc.nbr_wall, wall_chunks=eng.wall_chunks)
         return fb
 
     contacts = []
@@ -279,7 +291,8 @@ def acoustic_step(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt,
             eng.riemann1, dt, tile_c=eng.tile_c,
             interpret=eng.pallas_interpret, box=eng.box, roll_y=eng.roll_y,
             dim=eng.dim, wall_static=eng.wall_static,
-            window_chunks=eng.window_chunks)
+            window_chunks=eng.window_chunks, wall_packed=wc.wall_packed,
+            nbr_wall=wc.nbr_wall, wall_chunks=eng.wall_chunks)
         if between is not None:
             fb = between(fb)
         fb = fbops.acoustic_step_2nd_half_p2(
@@ -287,7 +300,8 @@ def acoustic_step(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt,
             dt, tile_c=eng.tile_c, interpret=eng.pallas_interpret,
             box=eng.box, roll_y=eng.roll_y, dim=eng.dim,
             wall_static=eng.wall_static,
-            window_chunks=eng.window_chunks)
+            window_chunks=eng.window_chunks, wall_packed=wc.wall_packed,
+            nbr_wall=wc.nbr_wall, wall_chunks=eng.wall_chunks)
         return fb
     walls = _jnp_walls(wc)
     wall_b = walls[0][0] if walls else None
@@ -312,7 +326,8 @@ def acoustic_first_half(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt):
             eng.riemann1, dt, tile_c=eng.tile_c,
             interpret=eng.pallas_interpret, box=eng.box, roll_y=eng.roll_y,
             dim=eng.dim, wall_static=eng.wall_static,
-            window_chunks=eng.window_chunks)
+            window_chunks=eng.window_chunks, wall_packed=wc.wall_packed,
+            nbr_wall=wc.nbr_wall, wall_chunks=eng.wall_chunks)
     walls = _jnp_walls(wc)
     wall_b = walls[0][0] if walls else None
     nbr_w = walls[0][1] if walls else None
@@ -327,7 +342,9 @@ def acoustic_second_half(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt):
             fb, nbr_inner, wc.wall_jt, wc.wflags, eng.kernel, eng.riemann2,
             dt, tile_c=eng.tile_c, interpret=eng.pallas_interpret,
             box=eng.box, roll_y=eng.roll_y, dim=eng.dim,
-            wall_static=eng.wall_static, window_chunks=eng.window_chunks)
+            wall_static=eng.wall_static, window_chunks=eng.window_chunks,
+            wall_packed=wc.wall_packed, nbr_wall=wc.nbr_wall,
+            wall_chunks=eng.wall_chunks)
     walls = _jnp_walls(wc)
     wall_b = walls[0][0] if walls else None
     nbr_w = walls[0][1] if walls else None

@@ -117,7 +117,8 @@ def standard_scene(base, fluid, *, rho0: float, speed_ref: float,
                    pallas_interpret: bool = False, window_chunks: int = 1,
                    wall_static: bool | None = None, cap_ac_dt: bool = False,
                    wrap: bool = False, hooks: Hooks = Hooks(),
-                   extra_fields: tuple = ()) -> BlockScene:
+                   extra_fields: tuple = (),
+                   wall_chunks: int = 1) -> BlockScene:
     """Bind a gather-path case to the block engine.  `base` must provide
     adaptation, grid, eos, riemann, n_fluid; `wall` (a state dict) is
     slotted once as a static contact body."""
@@ -138,7 +139,8 @@ def standard_scene(base, fluid, *, rho0: float, speed_ref: float,
         c_max=c_max, tile_c=tile_c, use_pallas=use_pallas,
         pallas_interpret=pallas_interpret, cap_ac_dt=cap_ac_dt,
         wall_static=(wall_static if wall_static is not None
-                     else wall is not None), window_chunks=window_chunks)
+                     else wall is not None), window_chunks=window_chunks,
+        wall_chunks=wall_chunks)
 
     wall_b = bm_wall = dm_w = None
     if wall is not None:

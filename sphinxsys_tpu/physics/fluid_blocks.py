@@ -434,6 +434,21 @@ def sweep_geometry(pos_qb, mask_qb, pos_sb, mask_sb, nbr_block, w, kernel,
 # with per-window gathers at ~1/10 the prep cost of the v1 kernels.
 # ---------------------------------------------------------------------------
 
+def pack_wall_channels(wall_b, wall_static: bool = False):
+    """Compact per-advection-step wall packing: (Cw+1, CAPW, CH) channel
+    concat WITHOUT the 27-window expansion.  At 4.1M particles the full
+    (27, CH, CAPW, C) wall tensor is ~10.8 GB of HBM (the r5 driver-bench
+    OOM); window-chunked sweeps gather windows from this compact form
+    on the fly instead."""
+    cols = [wall_b["Position"], wall_b["VolumetricMeasure"][..., None]]
+    if not wall_static:
+        cols.append(wall_b["AverageVelocity"])
+    cols.append(wall_b["NormalDirection"])
+    if not wall_static:
+        cols.append(wall_b["AverageAcceleration"])
+    return jnp.concatenate(cols, axis=-1)
+
+
 def pack_wall_t(wall_b, nbr_wall, c_max_wall: int, tile_c: int = 256,
                 n_occ=None, wall_static: bool = False):
     """Per-advection-step wall prep for the fused sweeps: gather+transpose
@@ -464,7 +479,7 @@ def pack_wall_t(wall_b, nbr_wall, c_max_wall: int, tile_c: int = 256,
 
 
 def _window_jt(packed_j, nbr, c, roll_y: bool = True, dim: int = 2,
-               windows=None):
+               windows=None, cross: bool = False):
     """(C+1, CAP, CH) + (C, NW) -> (NW, CH, CAP, C) window stack in the
     transposed kernel layout (NW = 3^dim).
 
@@ -489,13 +504,17 @@ def _window_jt(packed_j, nbr, c, roll_y: bool = True, dim: int = 2,
     if windows is not None:
         # window-chunked build (large-N HBM discipline): gather ONLY the
         # requested window subset, no roll shortcut; returns
-        # (len(windows), CH, CAP, C)
-        gw = tuple(w for w in windows if w != ctr)
-        base = flat[:c].reshape(c, cap, ch).transpose(2, 1, 0)
+        # (len(windows), CH, CAP, C).  `cross`: cross-body window maps
+        # (e.g. fluid cells -> wall blocks) have NO identity center —
+        # gather every window.
+        gw = tuple(w for w in windows if cross or w != ctr)
         if gw:
             gathered = jnp.stack([flat[nbr[:, w]] for w in gw], axis=0)
             gathered = gathered.reshape(len(gw), c, cap, ch).transpose(
                 0, 3, 2, 1)
+        if cross:
+            return gathered
+        base = flat[:c].reshape(c, cap, ch).transpose(2, 1, 0)
         out = []
         k = 0
         for w in windows:
@@ -533,24 +552,41 @@ def _window_jt(packed_j, nbr, c, roll_y: bool = True, dim: int = 2,
 
 
 def _chunked_sweep(sweep_fn, xi_t, packed_j, nbr_inner, c, wall_jt, wflags,
-                   dim, window_chunks, **kw):
+                   dim, window_chunks, wall_packed=None, nbr_wall=None,
+                   wall_chunks: int = 1, **kw):
     """Window-chunked sweep for large-N HBM discipline: the (3^dim, CH,
     CAP, C) inner j-tensor never materializes whole — each chunk is built,
-    consumed by a side="inner" kernel call, and freed; the wall windows run
-    once as side="wall".  Outputs sum exactly (pair sums split by window).
-    At 4M particles in 3D the full ac2 j-tensor is ~6 GB x2 HLO temps —
-    the difference between fitting HBM and not."""
+    consumed by a side="inner" kernel call, and freed.  Outputs sum
+    exactly (pair sums split by window).  At 4M particles in 3D the full
+    ac2 j-tensor is ~6 GB x2 HLO temps — the difference between fitting
+    HBM and not.
+
+    `wall_packed` + `wall_chunks` > 1: the WALL tensor is chunked the
+    same way from the compact (Cw+1, CAPW, CH) packing (the full wall
+    tensor is ~10.8 GB at 4.1M — the r5 driver OOM)."""
     nw = 3 ** dim
     chj = packed_j.shape[-1]
     dummy_j = jnp.zeros((1, chj, 1, c), jnp.float32)
-    outs = sweep_fn(xi_t, dummy_j, wall_jt, wflags, dim=dim, side="wall",
-                    **kw)
+    if wall_packed is not None and wall_chunks > 0:
+        outs = None
+        wb = [(i * nw) // wall_chunks for i in range(wall_chunks + 1)]
+        for a, b in zip(wb, wb[1:]):
+            wj_g = _window_jt(wall_packed, nbr_wall, c, roll_y=False,
+                              dim=dim, windows=tuple(range(a, b)),
+                              cross=True)
+            o = sweep_fn(xi_t, dummy_j, wj_g, wflags, dim=dim, side="wall",
+                         **kw)
+            outs = o if outs is None else tuple(
+                x + y for x, y in zip(outs, o))
+    else:
+        outs = sweep_fn(xi_t, dummy_j, wall_jt, wflags, dim=dim,
+                        side="wall", **kw)
     bounds = [(i * nw) // window_chunks for i in range(window_chunks + 1)]
     for a, b in zip(bounds, bounds[1:]):
         xj_g = _window_jt(packed_j, nbr_inner, c, roll_y=False, dim=dim,
                           windows=tuple(range(a, b)))
-        o = sweep_fn(xi_t, xj_g, wall_jt, wflags, dim=dim, side="inner",
-                     **kw)
+        o = sweep_fn(xi_t, xj_g, wall_jt if wall_packed is None else dummy_j,
+                     wflags, dim=dim, side="inner", **kw)
         outs = tuple(x + y for x, y in zip(outs, o))
     return outs
 
@@ -570,7 +606,9 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
                               interpret: bool = False, box=None,
                               roll_y: bool = True, dim: int = 2,
                               wall_static: bool = False,
-                              window_chunks: int = 1):
+                              window_chunks: int = 1,
+                              wall_packed=None, nbr_wall=None,
+                              wall_chunks: int = 1):
     """Pallas v2 variant of acoustic_step_1st_half_b (WendlandC2, 2D/3D).
     Padding handled by FAR-parked positions (non-periodic) plus VOL = 0
     fills (required under periodic wrap)."""
@@ -596,9 +634,11 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
               inv_rho0c0=riemann.inv_rho0c0_ave, tile_c=tile_c,
               interpret=interpret, box_x=bx, box_y=by, box_z=bz,
               wall_static=wall_static)
-    if window_chunks > 1:
+    if window_chunks > 1 or wall_chunks > 1:
         *fs, rd = _chunked_sweep(pb2.ac1_sweep_t, xi_t, packed_j, nbr_inner,
-                                 c, wall_jt, wflags, dim, window_chunks, **kw)
+                                 c, wall_jt, wflags, dim, window_chunks,
+                                 wall_packed=wall_packed, nbr_wall=nbr_wall,
+                                 wall_chunks=wall_chunks, **kw)
     else:
         xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
         *fs, rd = pb2.ac1_sweep_t(xi_t, xj_t, wall_jt, wflags, dim=dim,
@@ -623,7 +663,9 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
                               interpret: bool = False, box=None,
                               roll_y: bool = True, dim: int = 2,
                               wall_static: bool = False,
-                              window_chunks: int = 1):
+                              window_chunks: int = 1,
+                              wall_packed=None, nbr_wall=None,
+                              wall_chunks: int = 1):
     """Pallas v2 variant of acoustic_step_2nd_half_b."""
     from sphinxsys_tpu.ops import pallas_block2 as pb2
     from sphinxsys_tpu.physics.riemann import (
@@ -652,10 +694,11 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
               rho0c0_geo=geo, inv_c0=riemann.inv_c0_ave,
               limiter_coeff=limiter, tile_c=tile_c, interpret=interpret,
               box_x=bx, box_y=by, box_z=bz, wall_static=wall_static)
-    if window_chunks > 1:
+    if window_chunks > 1 or wall_chunks > 1:
         dcr, *fs = _chunked_sweep(pb2.ac2_sweep_t, xi_t, packed_j, nbr_inner,
                                   c, wall_jt, wflags, dim, window_chunks,
-                                  **kw)
+                                  wall_packed=wall_packed, nbr_wall=nbr_wall,
+                                  wall_chunks=wall_chunks, **kw)
     else:
         xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
         dcr, *fs = pb2.ac2_sweep_t(xi_t, xj_t, wall_jt, wflags, dim=dim,
@@ -675,7 +718,9 @@ def density_summation_p2(fb, nbr_inner, wall_jt, wflags, kernel, rho0: float,
                          sigma0: float, tile_c: int = 256,
                          interpret: bool = False, free_surface: bool = True,
                          box=None, roll_y: bool = True, dim: int = 2,
-                         wall_static: bool = False, window_chunks: int = 1):
+                         wall_static: bool = False, window_chunks: int = 1,
+                              wall_packed=None, nbr_wall=None,
+                              wall_chunks: int = 1):
     """Pallas v2 variant of density_summation_b (inner + wall contact).
     The slot-mask channel and the W(0) self term make the sweep seed-free;
     the wall's W*V sum is converted to the reference's m_k/rho0_k
@@ -695,10 +740,12 @@ def density_summation_p2(fb, nbr_inner, wall_jt, wflags, kernel, rho0: float,
     kw = dict(inv_h=1.0 / kernel.h, factor_w=kernel._factor_w(dim),
               tile_c=tile_c, interpret=interpret, box_x=bx, box_y=by,
               box_z=bz, wall_static=wall_static)
-    if window_chunks > 1:
+    if window_chunks > 1 or wall_chunks > 1:
         sig, sigw = _chunked_sweep(pb2.density_sweep_t, xi_t, packed_j,
                                    nbr_inner, c, wall_jt, wflags, dim,
-                                   window_chunks, **kw)
+                                   window_chunks, wall_packed=wall_packed,
+                                   nbr_wall=nbr_wall,
+                                   wall_chunks=wall_chunks, **kw)
     else:
         xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
         sig, sigw = pb2.density_sweep_t(xi_t, xj_t, wall_jt, wflags, dim=dim,
@@ -833,7 +880,9 @@ def visc_tvc_p2(fb, nbr_inner, wall_jt, wflags, kernel, dim: int, mu: float,
                 tvc_limiter_slope: float | None = None, tile_c: int = 256,
                 interpret: bool = False, box=None, roll_y: bool = True,
                 do_viscous: bool = True, do_tvc: bool = True,
-                wall_static: bool = False, window_chunks: int = 1):
+                wall_static: bool = False, window_chunks: int = 1,
+                              wall_packed=None, nbr_wall=None,
+                              wall_chunks: int = 1):
     """Pallas v2 fused twin of viscous_force_b + transport_velocity_
     correction_b (one window sweep computes both; ops/pallas_block2.py
     visc_tvc_sweep_t).  Padding slots must carry VOL = 0."""
@@ -851,10 +900,12 @@ def visc_tvc_p2(fb, nbr_inner, wall_jt, wflags, kernel, dim: int, mu: float,
               eps_r=0.01 * smoothing_length, tile_c=tile_c,
               interpret=interpret, box_x=bx, box_y=by, box_z=bz,
               wall_static=wall_static)
-    if window_chunks > 1:
+    if window_chunks > 1 or wall_chunks > 1:
         outs = _chunked_sweep(pb2.visc_tvc_sweep_t, xi_t, packed_j,
                               nbr_inner, c, wall_jt, wflags, dim,
-                              window_chunks, **kw)
+                              window_chunks, wall_packed=wall_packed,
+                              nbr_wall=nbr_wall, wall_chunks=wall_chunks,
+                              **kw)
     else:
         xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
         outs = pb2.visc_tvc_sweep_t(xi_t, xj_t, wall_jt, wflags, dim=dim,

@@ -361,6 +361,11 @@ CASES["pulsatile_poiseuille_2d"] = _run_single_fluid(
     "pulsatile_poiseuille_2d",
     lambda c, s: {"WaterBody": s.fluid, "Wall": c.wall}, t_end=10.0)
 
+CASES["cubic_droplet_3d"] = _run_single_fluid(
+    "cubic_droplet_3d",
+    lambda c, s: {"WaterBody": s.water, "AirBody": s.air, "Wall": c.wall},
+    t_end=2.0)
+
 CASES["muscle_solid_contact_3d"] = _run_single_fluid(
     "muscle_solid_contact_3d",
     lambda c, s: {"MyocardiumBody": s.myo, "MovingPlate": s.plate},
