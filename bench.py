@@ -268,6 +268,8 @@ def block_kwargs_from_env() -> dict:
         kw["window_chunks"] = int(os.environ["BENCH_WCHUNKS"])
     if os.environ.get("BENCH_WALLCHUNKS"):
         kw["wall_chunks"] = int(os.environ["BENCH_WALLCHUNKS"])
+    if os.environ.get("BENCH_WALLFRAC"):
+        kw["wall_compact_frac"] = float(os.environ["BENCH_WALLFRAC"])
     return kw
 
 

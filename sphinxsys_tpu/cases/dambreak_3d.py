@@ -175,7 +175,7 @@ def build_block_case(dx: float = 0.05, dtype=jnp.float32, cap: int = 40,
                      c_max: int | None = None, use_pallas: bool = False,
                      pallas_interpret: bool = False, tile_c: int = 128,
                      cap_wall: int | None = None, window_chunks: int = 1,
-                     wall_chunks: int = 1):
+                     wall_chunks: int = 1, wall_compact_frac: float = 0.0):
     """The same scene on the cell-block / Pallas engine (engine/scene.py).
 
     3D capacity notes: a 2.6dx cell holds up to 3 lattice planes per axis
@@ -190,5 +190,6 @@ def build_block_case(dx: float = 0.05, dtype=jnp.float32, cap: int = 40,
         free_surface=True, wall=base.wall, cap=cap, c_max=c_max,
         cap_wall=cap_wall, tile_c=tile_c, use_pallas=use_pallas,
         pallas_interpret=pallas_interpret, window_chunks=window_chunks,
-        wall_chunks=wall_chunks, wall_static=True)
+        wall_chunks=wall_chunks, wall_compact_frac=wall_compact_frac,
+        wall_static=True)
     return scene, fluid

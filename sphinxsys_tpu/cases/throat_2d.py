@@ -213,11 +213,14 @@ def _advection_step(case: ThroatCase, s: SimState) -> SimState:
     def ac_body(carry):
         f, rt = carry
         dt = jnp.minimum(fd.acoustic_time_step(f, case.eos, h), dt_adv)
-        # implicit viscous damping (inner + from wall), throat.cpp:248
-        f = dp.damping_pairwise(f, "Velocity", s.nl_inner, kernel, dim,
-                                MU_F, dt, box=box)
-        f = dp.damping_pairwise_wall(f, "Velocity", wall, s.nl_wall, kernel,
-                                     dim, MU_F, dt, box=box)
+        # implicit viscous damping (inner + from wall), throat.cpp:248.
+        # Deep-implicit regime (Re = 1e-3: nu dt/h^2 ~ 40): the exact CG
+        # backward-Euler solve — the Jacobi splitting saturates at ~40%
+        # of the nominal viscosity here (see dissipation.damping_implicit_cg
+        # and PROGRESS.md r5), which was the +30% KE plateau of r3/r4
+        f = dp.damping_implicit_cg(f, "Velocity", s.nl_inner, kernel, dim,
+                                   MU_F, dt, walls=[(wall, s.nl_wall, None)],
+                                   box=box)
         # Oldroyd-B 1st half
         f = ob.stress_half_step(f, dt)
         f_mid = dict(f)

@@ -64,6 +64,10 @@ class WallCtx(NamedTuple):
     wflags: Any       # per-tile scalar-prefetch flags
     wall_packed: Any = None   # compact (Cw+1, CAPW, CH) packing when the
                               # wall tensor is window-chunked (HBM regime)
+    wall_cells: Any = None    # per-cell wall compaction (wall_compact_frac)
+    wall_has: Any = None
+    wflags_w: Any = None
+    wall_ovf: Any = None      # compaction capacity overflow flag
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +100,11 @@ class BlockEngine:
                                # j-window tensor (large-N HBM discipline)
     wall_chunks: int = 1       # >1: same for the WALL window tensor (the
                                # full form is ~10.8 GB at 4.1M particles)
+    wall_compact_frac: float = 0.0  # >0: wall-side sweeps run only on the
+                               # compacted wall-adjacent cells (~26% in the
+                               # 3D dambreak; tile-level wflags fire on
+                               # ~100% of tiles because every tile spans a
+                               # z-column touching the tank floor)
 
     @property
     def box(self):
@@ -130,10 +139,57 @@ def slot_fluid(eng: BlockEngine, flat: dict, valid, n_max: int | None = None):
     Returns (fb, bm): the block state (with SlotMask) and the BlockMap
     (its occ_cells feed wall window maps and solid->fluid lookups).
     Pass n_max = the particle capacity when re-slotting slot arrays
-    (2-3x larger than the particle count) — it bounds the post-sort work."""
-    bm = build_block_map(flat["Position"], valid, eng.grid, cap=eng.cap,
-                         c_max=eng.c_max, n_max=n_max, with_inverse=False)
-    fb = to_blocks_packed(bm, flat, eng.fills)
+    (2-3x larger than the particle count) — it bounds the post-sort work.
+
+    The field columns ride the block map's OWN sort and the blocks form
+    by per-block-row CHUNK gathers (cell_blocks.build_block_map carry
+    path): TPU gathers cost ~25-40 ns PER ROW regardless of width, so
+    the old per-slot packed gather (c_max*cap rows) was the single most
+    expensive stage of the 3D advection step (195 of 210 ms at 1M)."""
+    fdtype = flat["Position"].dtype
+    cols, meta = [], []
+    for k, v in flat.items():
+        if v.ndim == 1:
+            cols.append(v.astype(fdtype))
+            meta.append((k, None, v.dtype))
+        else:
+            for d in range(v.shape[1]):
+                cols.append(v[:, d].astype(fdtype))
+                meta.append((k, d, v.dtype))
+    carry = jnp.stack(cols, axis=-1)
+    bm, blocks = build_block_map(flat["Position"], valid, eng.grid,
+                                 cap=eng.cap, c_max=eng.c_max, n_max=n_max,
+                                 with_inverse=False, carry=carry)
+    mask2 = bm.slot_mask.reshape(eng.c_max, eng.cap)
+    fills = eng.fills
+    fb = {}
+    comp = {}
+    for j, (k, d, dt) in enumerate(meta):
+        col = blocks[..., j]
+        if d is None:
+            fill = fills.get(k, 0.0)
+            fill = 0 if k == "OriginalID" else fill
+            col = jnp.where(mask2, col, jnp.asarray(fill, fdtype))
+            if k == "OriginalID":
+                col = col.astype(dt)
+                col = jnp.where(mask2, col, jnp.iinfo(jnp.int32).max)
+            else:
+                col = col.astype(dt)
+            fb[k] = jnp.concatenate(
+                [col, jnp.full((1, eng.cap), fills.get(k, 0.0), dt)
+                 if k != "OriginalID" else
+                 jnp.full((1, eng.cap), jnp.iinfo(jnp.int32).max, dt)],
+                axis=0)
+        else:
+            comp.setdefault(k, {})[d] = col
+    for k, dcols in comp.items():
+        dim = len(dcols)
+        fill = fills.get(k, 0.0)
+        arr = jnp.stack([dcols[d] for d in range(dim)], axis=-1)
+        arr = jnp.where(mask2[..., None], arr, jnp.asarray(fill, fdtype))
+        arr = arr.astype(flat[k].dtype)
+        sent = jnp.full((1, eng.cap, dim), fill, flat[k].dtype)
+        fb[k] = jnp.concatenate([arr, sent], axis=0)
     fb["SlotMask"] = _slot_mask_2d(bm)
     return fb, bm
 
@@ -183,6 +239,20 @@ def make_wall_ctx(eng: BlockEngine, wall_b, nbr_wall, bm_wall,
     XLA block path)."""
     if not eng.use_pallas:
         return WallCtx(wall_b, nbr_wall, None, None)
+    if eng.wall_compact_frac > 0.0:
+        c_w = round_to(max(int(eng.c_max * eng.wall_compact_frac),
+                           eng.tile_c), eng.tile_c)
+        wall_cells, nbr_sub, _, wall_has, n_w = fbops.compact_wall_ctx(
+            nbr_wall, bm_wall.c_max, c_w, eng.tile_c)
+        wall_jt, wflags_w = fbops.pack_wall_t(
+            wall_b, nbr_sub, bm_wall.c_max, eng.tile_c, n_occ=n_w,
+            wall_static=eng.wall_static)
+        from sphinxsys_tpu.ops import pallas_block2 as _pb2
+        wflags = _pb2.wall_flags(nbr_wall, bm_wall.c_max, eng.tile_c,
+                                 n_occ=n_occ)
+        return WallCtx(wall_b, nbr_wall, wall_jt, wflags,
+                       wall_cells=wall_cells, wall_has=wall_has,
+                       wflags_w=wflags_w, wall_ovf=n_w > c_w)
     if eng.wall_chunks > 1:
         packed = fbops.pack_wall_channels(wall_b, wall_static=eng.wall_static)
         from sphinxsys_tpu.ops import pallas_block2 as _pb2
@@ -292,7 +362,9 @@ def acoustic_step(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt,
             interpret=eng.pallas_interpret, box=eng.box, roll_y=eng.roll_y,
             dim=eng.dim, wall_static=eng.wall_static,
             window_chunks=eng.window_chunks, wall_packed=wc.wall_packed,
-            nbr_wall=wc.nbr_wall, wall_chunks=eng.wall_chunks)
+            nbr_wall=wc.nbr_wall, wall_chunks=eng.wall_chunks,
+            wall_cells=wc.wall_cells, wall_has=wc.wall_has,
+            wflags_w=wc.wflags_w)
         if between is not None:
             fb = between(fb)
         fb = fbops.acoustic_step_2nd_half_p2(
@@ -301,7 +373,9 @@ def acoustic_step(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt,
             box=eng.box, roll_y=eng.roll_y, dim=eng.dim,
             wall_static=eng.wall_static,
             window_chunks=eng.window_chunks, wall_packed=wc.wall_packed,
-            nbr_wall=wc.nbr_wall, wall_chunks=eng.wall_chunks)
+            nbr_wall=wc.nbr_wall, wall_chunks=eng.wall_chunks,
+            wall_cells=wc.wall_cells, wall_has=wc.wall_has,
+            wflags_w=wc.wflags_w)
         return fb
     walls = _jnp_walls(wc)
     wall_b = walls[0][0] if walls else None
@@ -327,7 +401,9 @@ def acoustic_first_half(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt):
             interpret=eng.pallas_interpret, box=eng.box, roll_y=eng.roll_y,
             dim=eng.dim, wall_static=eng.wall_static,
             window_chunks=eng.window_chunks, wall_packed=wc.wall_packed,
-            nbr_wall=wc.nbr_wall, wall_chunks=eng.wall_chunks)
+            nbr_wall=wc.nbr_wall, wall_chunks=eng.wall_chunks,
+            wall_cells=wc.wall_cells, wall_has=wc.wall_has,
+            wflags_w=wc.wflags_w)
     walls = _jnp_walls(wc)
     wall_b = walls[0][0] if walls else None
     nbr_w = walls[0][1] if walls else None
@@ -344,7 +420,8 @@ def acoustic_second_half(eng: BlockEngine, fb, nbr_inner, wc: WallCtx, dt):
             box=eng.box, roll_y=eng.roll_y, dim=eng.dim,
             wall_static=eng.wall_static, window_chunks=eng.window_chunks,
             wall_packed=wc.wall_packed, nbr_wall=wc.nbr_wall,
-            wall_chunks=eng.wall_chunks)
+            wall_chunks=eng.wall_chunks, wall_cells=wc.wall_cells,
+            wall_has=wc.wall_has, wflags_w=wc.wflags_w)
     walls = _jnp_walls(wc)
     wall_b = walls[0][0] if walls else None
     nbr_w = walls[0][1] if walls else None

@@ -118,7 +118,8 @@ def standard_scene(base, fluid, *, rho0: float, speed_ref: float,
                    wall_static: bool | None = None, cap_ac_dt: bool = False,
                    wrap: bool = False, hooks: Hooks = Hooks(),
                    extra_fields: tuple = (),
-                   wall_chunks: int = 1) -> BlockScene:
+                   wall_chunks: int = 1,
+                   wall_compact_frac: float = 0.0) -> BlockScene:
     """Bind a gather-path case to the block engine.  `base` must provide
     adaptation, grid, eos, riemann, n_fluid; `wall` (a state dict) is
     slotted once as a static contact body."""
@@ -140,7 +141,7 @@ def standard_scene(base, fluid, *, rho0: float, speed_ref: float,
         pallas_interpret=pallas_interpret, cap_ac_dt=cap_ac_dt,
         wall_static=(wall_static if wall_static is not None
                      else wall is not None), window_chunks=window_chunks,
-        wall_chunks=wall_chunks)
+        wall_chunks=wall_chunks, wall_compact_frac=wall_compact_frac)
 
     wall_b = bm_wall = dm_w = None
     if wall is not None:
@@ -291,6 +292,9 @@ def _advection_step(scene: BlockScene, s: BlockSim) -> BlockSim:
         ac_cond, ac_body,
         (fb, aux, jnp.zeros_like(dt_adv), jnp.zeros((), jnp.int32)))
 
+    step_ovf = (wc0.wall_ovf if wc0.wall_ovf is not None
+                else jnp.zeros((), bool))
+
     flat = {k: fb[k].reshape((-1,) + fb[k].shape[2:]) for k in scene.fields}
     valid = fb["SlotMask"].reshape(-1)
     if hooks.post_advection is not None:
@@ -302,7 +306,8 @@ def _advection_step(scene: BlockScene, s: BlockSim) -> BlockSim:
     return BlockSim(fluid_b=fb2, nbr_inner=bm_f.nbr_block, nbr_wall=nbr_wall,
                     wall_bm=wall_bm, wall_b0=wall_b0, aux=aux,
                     time=s.time + relax_t, n_adv=s.n_adv + 1,
-                    n_ac=s.n_ac + n_ac, overflow=s.overflow | ovf)
+                    n_ac=s.n_ac + n_ac,
+                    overflow=s.overflow | ovf | step_ovf)
 
 
 def make_run_chunk(scene: BlockScene):

@@ -524,6 +524,46 @@ def _window_jt(packed_j, nbr, c, roll_y: bool = True, dim: int = 2,
                 out.append(gathered[k])
                 k += 1
         return jnp.stack(out, axis=0)
+    if roll_y and dim == 3:
+        # z-TRIPLE gathers: cells sort by flattened id with z minor, so
+        # the OCCUPIED cells of a column's z-triple {z-1, z, z+1} always
+        # occupy CONSECUTIVE block rows (ids differ by 1; sorted
+        # occupancy).  Anchor each cell's triple at (first occupied row)
+        # + 1, gather the 3-row sliding concat ONCE per (dx, dy) column
+        # (9 wide gathers instead of 27 narrow ones — measured 56.6 ->
+        # ~20 ms at 1M particles), then SELECT each window's slot by its
+        # own row offset — exact for every occupancy pattern, including
+        # the z-sandwich (z+-1 occupied, z empty) that a naive
+        # adjacent-row check would drop.
+        n_rows = flat.shape[0]
+        sent = n_rows - 1                             # sentinel row
+        rw = cap * ch
+        fill_row = jnp.zeros((1, rw), flat.dtype)
+        flat_m = jnp.concatenate([fill_row, flat[:-1]], axis=0)   # row r-1
+        flat_p = jnp.concatenate([flat[1:], fill_row], axis=0)    # row r+1
+        flat3 = jnp.concatenate([flat_m, flat, flat_p], axis=1)   # (R, 3rw)
+
+        fillc = jnp.zeros((ch, cap, c), flat.dtype)
+        fillc = fillc.at[:dim].set(1.0e16)            # park positions FAR
+
+        out = [None] * nw
+        for w0 in range(1, nw, 3):                    # z = 0 windows
+            rows = [nbr[:, w0 - 1], nbr[:, w0], nbr[:, w0 + 1]]
+            occ = [r < sent for r in rows]
+            r_first = jnp.where(
+                occ[0], rows[0],
+                jnp.where(occ[1], rows[1],
+                          jnp.where(occ[2], rows[2], sent - 1)))
+            a = jnp.minimum(r_first + 1, sent)
+            g3 = flat3[a].reshape(c, 3, cap, ch).transpose(1, 3, 2, 0)
+            for k in range(3):
+                slot = rows[k] - (a - 1)              # 0, 1 or 2
+                piece = jnp.where((slot == 0)[None, None, :], g3[0],
+                                  jnp.where((slot == 1)[None, None, :],
+                                            g3[1], g3[2]))
+                out[w0 - 1 + k] = jnp.where(occ[k][None, None, :], piece,
+                                            fillc)
+        return jnp.stack(out, axis=0)
     if roll_y:
         gw = tuple(w for w in range(nw) if w not in (ctr - 1, ctr, ctr + 1))
     else:
@@ -549,6 +589,42 @@ def _window_jt(packed_j, nbr, c, roll_y: bool = True, dim: int = 2,
         out[ctr - 1] = jnp.where(valid_m, rolled_m, fill)
         out[ctr + 1] = jnp.where(valid_p, rolled_p, fill)
     return jnp.stack(out, axis=0)
+
+
+
+def compact_wall_ctx(nbr_wall, c_max_wall: int, c_w: int, tile_c: int):
+    """Per-cell wall compaction: only ~25-35% of occupied cells have any
+    wall window in the 3D dambreak, yet tile-level wflag predication
+    fires on ~100% of tiles (every 128-cell tile straddles a z-column
+    touching the tank floor).  Compact the wall-adjacent cells into a
+    dense index list so the wall-side sweep runs on c_w << C cells.
+
+    Returns (wall_cells (c_w,), nbr_wall_sub (c_w, NW), wflags_w,
+    has_wall (C,), n_wall_cells)."""
+    c = nbr_wall.shape[0]
+    has_wall = jnp.any(nbr_wall < c_max_wall, axis=1)
+    wall_cells = jnp.nonzero(has_wall, size=c_w, fill_value=c)[0]
+    nbr_sub = jnp.take(nbr_wall, wall_cells, axis=0, mode="fill",
+                       fill_value=c_max_wall)
+    n_wall_cells = jnp.sum(has_wall.astype(jnp.int32))
+    tile_start = jnp.arange(c_w // tile_c, dtype=jnp.int32) * tile_c
+    wflags_w = jnp.where(tile_start < n_wall_cells, jnp.int32(1),
+                         jnp.int32(-1))
+    return wall_cells, nbr_sub, wflags_w, has_wall, n_wall_cells
+
+
+def expand_wall_outputs(outs_w, wall_cells, has_wall, c: int):
+    """Scatter-free expansion of compacted wall-side outputs (cap, c_w)
+    back to (cap, C): row-gather through the searchsorted inverse (the
+    compaction list is monotone), zeroed where the cell has no wall."""
+    inv = jnp.searchsorted(wall_cells, jnp.arange(c, dtype=wall_cells.dtype))
+    inv = jnp.minimum(inv, wall_cells.shape[0] - 1)
+    outs = []
+    for ow in outs_w:
+        rows = ow.T[inv]                               # (C, cap) gather
+        rows = jnp.where(has_wall[:, None], rows, 0.0)
+        outs.append(rows.T)
+    return tuple(outs)
 
 
 def _chunked_sweep(sweep_fn, xi_t, packed_j, nbr_inner, c, wall_jt, wflags,
@@ -608,7 +684,9 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
                               wall_static: bool = False,
                               window_chunks: int = 1,
                               wall_packed=None, nbr_wall=None,
-                              wall_chunks: int = 1):
+                              wall_chunks: int = 1,
+                              wall_cells=None, wall_has=None,
+                              wflags_w=None):
     """Pallas v2 variant of acoustic_step_1st_half_b (WendlandC2, 2D/3D).
     Padding handled by FAR-parked positions (non-periodic) plus VOL = 0
     fills (required under periodic wrap)."""
@@ -626,15 +704,25 @@ def acoustic_step_1st_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, eos,
 
     packed_j = jnp.concatenate([pos, p[..., None], vol[..., None]], axis=-1)
     acc_prior = fb["ForcePrior"] / jnp.maximum(fb["Mass"], TINY)[..., None]
-    xi_t = jnp.stack([pos[:c, :, k].T for k in range(dim)]
-                     + [p[:c].T, rho[:c].T]
-                     + [acc_prior[:c, :, k].T for k in range(dim)], 0)
+    packed_i = jnp.concatenate([pos[:c], p[:c, :, None], rho[:c, :, None],
+                                acc_prior[:c]], axis=-1)
+    xi_t = packed_i.transpose(2, 1, 0)
 
     kw = dict(inv_h=1.0 / kernel.h, factor_w=kernel._factor_w(dim),
               inv_rho0c0=riemann.inv_rho0c0_ave, tile_c=tile_c,
               interpret=interpret, box_x=bx, box_y=by, box_z=bz,
               wall_static=wall_static)
-    if window_chunks > 1 or wall_chunks > 1:
+    if wall_cells is not None:
+        xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
+        outs_i = pb2.ac1_sweep_t(xi_t, xj_t, wall_jt, wflags, dim=dim,
+                                 side="inner", **kw)
+        xi_w = jnp.take(packed_i, wall_cells, axis=0, mode="fill",
+                        fill_value=0.0).transpose(2, 1, 0)
+        outs_w = pb2.ac1_sweep_t(xi_w, xj_t[:1, :, :1], wall_jt, wflags_w,
+                                 dim=dim, side="wall", **kw)
+        outs_w = expand_wall_outputs(outs_w, wall_cells, wall_has, c)
+        *fs, rd = tuple(a + b for a, b in zip(outs_i, outs_w))
+    elif window_chunks > 1 or wall_chunks > 1:
         *fs, rd = _chunked_sweep(pb2.ac1_sweep_t, xi_t, packed_j, nbr_inner,
                                  c, wall_jt, wflags, dim, window_chunks,
                                  wall_packed=wall_packed, nbr_wall=nbr_wall,
@@ -665,7 +753,9 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
                               wall_static: bool = False,
                               window_chunks: int = 1,
                               wall_packed=None, nbr_wall=None,
-                              wall_chunks: int = 1):
+                              wall_chunks: int = 1,
+                              wall_cells=None, wall_has=None,
+                              wflags_w=None):
     """Pallas v2 variant of acoustic_step_2nd_half_b."""
     from sphinxsys_tpu.ops import pallas_block2 as pb2
     from sphinxsys_tpu.physics.riemann import (
@@ -681,8 +771,8 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
     c = nbr_inner.shape[0]
 
     packed_j = jnp.concatenate([pos, vel, vol[..., None]], axis=-1)
-    xi_t = jnp.stack([pos[:c, :, k].T for k in range(dim)]
-                     + [vel[:c, :, k].T for k in range(dim)], 0)
+    packed_i = jnp.concatenate([pos[:c], vel[:c]], axis=-1)
+    xi_t = packed_i.transpose(2, 1, 0)
 
     if isinstance(riemann, DissipativeRiemannSolver):
         geo, limiter = riemann.rho0c0_geo_ave, 1.0e30
@@ -694,7 +784,17 @@ def acoustic_step_2nd_half_p2(fb, nbr_inner, wall_jt, wflags, kernel, riemann,
               rho0c0_geo=geo, inv_c0=riemann.inv_c0_ave,
               limiter_coeff=limiter, tile_c=tile_c, interpret=interpret,
               box_x=bx, box_y=by, box_z=bz, wall_static=wall_static)
-    if window_chunks > 1 or wall_chunks > 1:
+    if wall_cells is not None:
+        xj_t = _window_jt(packed_j, nbr_inner, c, roll_y=roll_y, dim=dim)
+        outs_i = pb2.ac2_sweep_t(xi_t, xj_t, wall_jt, wflags, dim=dim,
+                                 side="inner", **kw)
+        xi_w = jnp.take(packed_i, wall_cells, axis=0, mode="fill",
+                        fill_value=0.0).transpose(2, 1, 0)
+        outs_w = pb2.ac2_sweep_t(xi_w, xj_t[:1, :, :1], wall_jt, wflags_w,
+                                 dim=dim, side="wall", **kw)
+        outs_w = expand_wall_outputs(outs_w, wall_cells, wall_has, c)
+        dcr, *fs = tuple(a + b for a, b in zip(outs_i, outs_w))
+    elif window_chunks > 1 or wall_chunks > 1:
         dcr, *fs = _chunked_sweep(pb2.ac2_sweep_t, xi_t, packed_j, nbr_inner,
                                   c, wall_jt, wflags, dim, window_chunks,
                                   wall_packed=wall_packed, nbr_wall=nbr_wall,

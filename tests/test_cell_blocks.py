@@ -197,3 +197,48 @@ def test_pallas_v2_case_runs_interpreted():
     pb = sc.blocks_to_particles(case_b, out_b)
     np.testing.assert_allclose(np.asarray(pa["Position"]),
                                np.asarray(pb["Position"]), atol=5e-5)
+
+
+def test_window_jt_ztriple_matches_naive_gather():
+    """The 3D z-triple anchored-gather build of the Pallas j-tensor
+    (fluid_blocks._window_jt roll_y path) must equal the naive per-window
+    gather on SPARSE occupancy, including z-sandwich columns (z+-1
+    occupied, z empty) and isolated cells."""
+    import numpy as np
+    from sphinxsys_tpu.neighbors import grid_from_bounds
+    from sphinxsys_tpu.neighbors.cell_blocks import build_block_map
+    from sphinxsys_tpu.physics import fluid_blocks as fbops
+
+    rng = np.random.default_rng(3)
+    # sparse cloud + a deliberate z-sandwich: particles at z-cells 0 and 2
+    # of one column with the middle cell empty
+    pos = rng.uniform(0.2, 7.8, size=(400, 3))
+    col = np.asarray([[3.1, 3.1, 0.5], [3.1, 3.1, 2.5],
+                      [3.15, 3.12, 0.4], [3.12, 3.14, 2.6]])
+    pos = np.concatenate([pos, col])
+    grid = grid_from_bounds((0.0, 0.0, 0.0), (8.0, 8.0, 8.0), 1.0)
+    bm = build_block_map(jnp.asarray(pos, jnp.float32),
+                         jnp.int32(len(pos)), grid, cap=16, c_max=512)
+    assert not bool(bm.overflow)
+    c = bm.nbr_block.shape[0]
+    packed = jnp.asarray(
+        rng.normal(size=(c + 1, 16, 5)).astype(np.float32))
+    # engine convention: the sentinel row AND all rows beyond the occupied
+    # range carry FAR-parked positions (block fills)
+    nbr_np = np.asarray(bm.nbr_block)
+    n_occ = int((nbr_np[:, 13] < c).sum())
+    packed = packed.at[n_occ:, :, :3].set(1.0e16)
+
+    fast = fbops._window_jt(packed, bm.nbr_block, c, roll_y=True, dim=3)
+    naive = fbops._window_jt(packed, bm.nbr_block, c, roll_y=False, dim=3)
+    fast = np.asarray(fast)
+    naive = np.asarray(naive)
+    # FAR-parked entries only need to agree on "is far" (fill patterns
+    # differ); real entries must match exactly
+    far_f = fast[:, 0] > 1e15
+    far_n = naive[:, 0] > 1e15
+    np.testing.assert_array_equal(far_f, far_n)
+    real = ~far_n
+    for ch in range(5):
+        np.testing.assert_array_equal(
+            np.where(real, fast[:, ch], 0.0), np.where(real, naive[:, ch], 0.0))

@@ -3,9 +3,19 @@ creeping-flow plateau, against the reference DB's own decay sequence.
 
 Reference FluidBody_TotalKineticEnergy snapshots (~1 per time unit):
 0.00718, 0.00172, 0.000946, 0.000691, 0.000574, 0.000502, ... -> 0.000358.
-Ours tracks the decay within ~10% and plateaus at 0.000467 (+30% of the
-reference tail — see case docstring for the open wall-gradient
-difference); the plateau bracket below pins both sides.
+
+Round-5 root cause of the historical +30% plateau: at Re = 1e-3 the
+implicit viscous damping is DEEP-implicit (nu dt/h^2 ~ 40) and the
+Jacobi pairwise splitting saturates ~40% below the nominal viscosity
+(momentum can cross at most one kernel support per call); the case now
+runs the exact CG backward-Euler solve (dissipation.damping_implicit_cg,
+validated against the analytic Oldroyd-B channel).  With it the decay
+tracks the reference within ~7% at t = 5 and the plateau lands at
+~0.00029 — BELOW the reference tail 0.000358, consistent with the
+reference's own sequential Gauss-Seidel splitting being itself only
+partially converged (under-damped) in this regime: exact solve <
+reference < Jacobi.  The bracket below pins ours between the analytic
+side and the reference tail.
 """
 
 import jax.numpy as jnp
@@ -32,8 +42,9 @@ def test_throat_viscoelastic_decay_and_plateau():
     s = run(s, jnp.asarray(10.0, s.time.dtype))
     assert not bool(s.overflow)
     ke10 = th.kinetic_energy(s)
-    # plateau bracket: reference tail 0.000358, ours 0.000466
-    assert 0.00030 < ke10 < 0.00055, ke10
+    # plateau bracket: reference tail 0.000358, ours ~0.00030 (exact
+    # implicit solve; see module docstring)
+    assert 0.00024 < ke10 < 0.00050, ke10
 
     # the polymeric stress is alive and bounded: steady UCM in shear gives
     # tau_xy ~ mu_p * du/dy and a positive first normal-stress difference
