@@ -10,11 +10,15 @@ tests/test_solid.py; the reference's committed DB shows the same
 first-mode oscillation at amplitude 0.099 at ITS resolution.)
 """
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.cases import anisotropic_beam_2d as ab
 from sphinxsys_tpu.cases import oscillating_beam_2d as ob
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def _tip_trajectory(case, s, run, tipfn, t_end):

@@ -12,6 +12,8 @@ import pytest
 from sphinxsys_tpu.cases import play_simbody_3d as ps
 from sphinxsys_tpu.physics import articulated as art
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 G = 9.81
 
 

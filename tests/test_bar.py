@@ -17,6 +17,8 @@ from sphinxsys_tpu.neighbors import grid_from_bounds, build_cell_table, build_ne
 from sphinxsys_tpu.physics import bar as bd
 from sphinxsys_tpu.physics import solid as sd
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 def _build_bar(L=0.4, n=21, thickness=0.03, width=0.03, E=2.0e6, rho=1000.0,
                nu=0.3):

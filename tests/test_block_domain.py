@@ -8,6 +8,7 @@ sit at the same position up to halo-staleness differences — the frozen
 ghost-band model refreshes values, not membership, within a step."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -15,6 +16,8 @@ from sphinxsys_tpu.cases import dambreak_2d as db
 from sphinxsys_tpu.engine import scene as sc
 from sphinxsys_tpu.parallel import block_domain as bd
 from sphinxsys_tpu.parallel.mesh import make_particle_mesh
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 N_DEV = 8
 

@@ -3,10 +3,14 @@ the fast path must reproduce the gather engine on viscous + TVC +
 periodic + moving-wall FSI cases, in both the XLA block form and the
 fused Pallas kernels (interpret mode on CPU)."""
 
+import pytest
+
 import math
 
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def _run_tg_gather(t_end, dx=0.025):

@@ -2,10 +2,14 @@
 persistence of the free ball, and the damped ball settling at the
 reference's own resting height (0.4907 from its committed Run_0 curve)."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.cases import collision_2d as co
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_collision_free_fall_bounce_and_damped_settling():

@@ -9,6 +9,8 @@ import pytest
 
 from sphinxsys_tpu.io import regression as rg
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 REF_DB = ("/root/reference/tests/3d_examples/test_3d_cubic_droplet/"
           "regression_test_tool")
 

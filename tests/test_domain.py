@@ -12,6 +12,8 @@ from sphinxsys_tpu.cases import taylor_green_2d as tg
 from sphinxsys_tpu.parallel import halo_cases as hc
 from sphinxsys_tpu.parallel.mesh import make_particle_mesh
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 def _gather_by_id(shard_fluid, n_real):
     """Order a distributed state by OriginalID for comparison."""

@@ -12,9 +12,13 @@ whole coupled dynamics (fluid pressure work vs elastic energy).
 Measured: max x-deflection -45.31 vs reference -45.83 (1.1%), max y-rise
 18.91 vs 19.59 (3.4%), full run to t=400 (~4 min CPU)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_elastic_gate_deflection_matches_reference_db():

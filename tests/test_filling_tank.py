@@ -9,6 +9,8 @@ import pytest
 
 from sphinxsys_tpu.cases import filling_tank_2d as ft
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 REF_E = {0.5: 0.459, 1.0: 0.852, 2.0: 1.535, 3.0: 2.099}
 
 

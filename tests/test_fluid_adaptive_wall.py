@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 def test_mr_hydrostatic_tank_stays_at_rest():
     jax.config.update("jax_platforms", "cpu")

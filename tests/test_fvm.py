@@ -15,6 +15,8 @@ from sphinxsys_tpu.fvm import (compile_mesh, cylinder_ogrid, read_fluent_msh,
 from sphinxsys_tpu.fvm import dynamics as fv
 from sphinxsys_tpu.fvm.mesh import RawMesh
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 # a hand-written 2x1 quad mesh: 6 nodes, 2 unit cells, 7 faces
 #   3--4--5
 #   |  |  |

@@ -1,9 +1,13 @@
 """Driver contract: entry() compiles single-chip; dryrun_multichip runs a
 full sharded step on the 8-device virtual CPU mesh."""
 
+import pytest
+
 import jax
 
 import __graft_entry__ as ge
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_entry_compiles_and_runs():

@@ -11,6 +11,8 @@ import pytest
 
 from sphinxsys_tpu.cases import heart_electromechanics_3d as hm
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 @pytest.fixture(scope="module")
 def run_result():

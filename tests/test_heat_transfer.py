@@ -5,10 +5,14 @@ CI runs the short horizon; the full-horizon observer curve vs the
 reference's ensemble DB lives in tests/test_refdb_parity.py (committed
 curve from benchmarks/run_refdb_parity.py heat_transfer)."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.cases import heat_transfer_2d as ht
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_thermal_boundary_layer_grows_from_hot_wall():

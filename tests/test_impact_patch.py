@@ -9,11 +9,15 @@ the reference's 0.5458, the initial KE exact, and a DTW diagnostic
 bounded at 0.6 (measured 0.43 at this resolution) so a real physics
 regression (wrong dissipation, broken correction) still trips."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.cases import impact_patch_2d as ip
 from sphinxsys_tpu.io import regression as rg
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 REF = ("/root/reference/tests/2d_examples/test_2d_impact_patch/"
        "regression_test_tool/WaterBody_TotalKineticEnergy_Run_0_result.xml")

@@ -12,6 +12,8 @@ from sphinxsys_tpu.core import geometry as G
 from sphinxsys_tpu.core.kernels import WendlandC2
 from sphinxsys_tpu.meshes import LevelSetShape, build_levelset
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 DX = 0.05
 
 

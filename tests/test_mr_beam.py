@@ -6,9 +6,13 @@ Full-horizon comparison (logged in PROGRESS.md): over t = 0..0.6 the MR
 beam's period is 0.2888 vs the matched-dx uniform beam's 0.2867 (0.7%)
 and the amplitudes agree within 0.9%.  This test runs the first swing."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_mr_beam_first_swing_matches_uniform():

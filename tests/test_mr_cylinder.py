@@ -1,9 +1,13 @@
 """MR free-stream cylinder (test_2d_free_stream_around_cylinder_mr):
 composed adaptive-h fluid + open boundaries + fine-grid cylinder contact."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_mr_cylinder_startup_physics():

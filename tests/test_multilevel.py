@@ -1,12 +1,16 @@
 """Multi-level adaptive-h neighbor engine tests (cell_linked_list.h:169-219,
 NeighborBuilderInnerAdaptive counterparts)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.core.adaptation import SPHAdaptation
 from sphinxsys_tpu.neighbors import multilevel as mlv
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def _two_resolution_lattice(dx=0.1, split=0.5, lo=0.0, hi=1.0):

@@ -2,12 +2,16 @@
 (active_muscle_dynamics / electro_physiology composition — the physics
 stack of the fish-swimming and cardiac cases)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.core.materials import Muscle
 from sphinxsys_tpu.physics import diffusion as df
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_muscle_stress_free_at_identity():

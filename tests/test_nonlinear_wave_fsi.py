@@ -12,8 +12,12 @@ impact at the reference resolution is the offline TPU validation
 (benchmarks/run_wave_fsi_validation.py).
 """
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_focused_packet_dispersion_and_strokes():

@@ -11,9 +11,13 @@ oscillation 0.63-0.80 m around the 0.691 m still level, flap pitch peaks
 ~ +-0.35 rad, PTO energy 0.3 -> 18.7 J across wave arrival.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_pin_joint_dynamics_units():

@@ -3,10 +3,14 @@ whip vs the reference DB's first full swing (its committed Run_0 peaks at
 (3.87, 4.155, 2.794) at t=0.42 and returns to (6.028, 0.011, 0.310) at
 t=1.0)."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.cases import passive_cantilever_3d as pc
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_passive_cantilever_first_swing_matches_reference_db():

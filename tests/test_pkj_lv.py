@@ -3,9 +3,13 @@
 tree conduction -> leaf stimulation -> monodomain wave -> active
 contraction."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_network_driven_activation_and_contraction():

@@ -2,10 +2,14 @@
 Fourier transient and the reference DB's steady plateau
 (/root/reference/tests/2d_examples/test_2d_poiseuille_flow)."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.cases import poiseuille_flow_2d as pf
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_startup_profile_matches_analytic_transient():

@@ -19,6 +19,8 @@ import pytest
 
 from sphinxsys_tpu.io import regression as rg
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 REF2 = "/root/reference/tests/2d_examples"
 REF3 = "/root/reference/tests/3d_examples"
 

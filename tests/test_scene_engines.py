@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 # registry: (case module name, dx, t_end, block knobs, tolerance)
 SCENES = [
     ("dambreak_2d", dict(dx=0.1), 0.30, dict(cap=16), 2e-3),

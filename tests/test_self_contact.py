@@ -12,6 +12,8 @@ from sphinxsys_tpu.io import regression as rg
 from sphinxsys_tpu.neighbors import build_cell_table, build_neighbor_list
 from sphinxsys_tpu.physics import contact as ct
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 REF_DB = ("/root/reference/tests/2d_examples/test_2d_self_contact/"
           "regression_test_tool/BeamObserver_Position_Run_0_result.xml")
 

@@ -2,12 +2,16 @@
 closed-form and brute-force oracles, plus the hydrostatic fluid-shell case
 (reference test_2d_hydrostatic_fluid_shell)."""
 
+import pytest
+
 import math
 import types
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def _kernel(dx, dim):

@@ -9,6 +9,8 @@ import pytest
 
 from sphinxsys_tpu.cases import sliding_2d as sl
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 REF_DB = ("/root/reference/tests/2d_examples/test_2d_sliding/"
           "regression_test_tool")
 

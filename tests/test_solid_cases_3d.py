@@ -6,10 +6,14 @@ References:
   /root/reference/tests/3d_examples/test_3d_muscle_activation/
 """
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.io.regression import read_result_xml
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 REF_NEO_DB = ("/root/reference/tests/3d_examples/"
               "test_3d_passive_cantilever_neohookean/regression_test_tool/"

@@ -1,8 +1,12 @@
 """Spinning plate (test_2d_spinning_plate): UL hourglass-controlled solid
 under rigid rotation — tensile-instability and angular-momentum test."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_spinning_plate_ke_vs_reference_db():

@@ -1,9 +1,13 @@
 """Standing wave (test_2d_standing_wave): first-mode period vs the
 finite-depth dispersion relation + wave-gauge machinery."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_standing_wave_period_matches_dispersion():

@@ -6,11 +6,15 @@ Full-horizon reference-DB parity lives in tests/test_refdb_parity.py
 CI tests assert the short-horizon physics: still water stays still and
 the floating structure holds its Archimedes equilibrium."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.cases import stfb_2d as sf
 from sphinxsys_tpu.cases import stlw_2d as sw
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_still_water_stays_still():

@@ -7,10 +7,14 @@ radial-return stress consistency at the flowing neck, and plastic-strain
 localization at the notch.
 """
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.cases import stretching_2d as st
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def _section_kappa(case, bar, x_center, half_width):

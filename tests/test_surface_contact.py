@@ -14,6 +14,8 @@ from sphinxsys_tpu.neighbors import (build_cell_table, build_neighbor_list,
 from sphinxsys_tpu.physics import shell as sh
 from sphinxsys_tpu.physics import surface_contact as sc
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 DP = 0.25
 
 

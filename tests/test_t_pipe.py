@@ -7,6 +7,8 @@ import pytest
 
 from sphinxsys_tpu.cases import t_pipe_2d as tp
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 def test_t_pipe_steady_split_and_energy_plateau():
     case, fluid = tp.build_case()

@@ -5,12 +5,16 @@ its Column_TotalKineticEnergy DTW database (KE_0 = 209.6 J at dx = PL/12,
 decayed to < 1% by t = 3.1e-5 s).
 """
 
+import pytest
+
 import math
 
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.physics import continuum as cn
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def _j2(rho0=2700.0, Y=0.29e9, H=0.0):

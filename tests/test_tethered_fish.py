@@ -9,6 +9,8 @@ import pytest
 from sphinxsys_tpu.cases import tethered_fish_2d as tf
 from sphinxsys_tpu.physics import articulated as ab
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 def test_planar_tree_free_body():
     """The slider-slider-pin Planar chain reproduces free rigid-body

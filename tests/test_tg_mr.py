@@ -2,11 +2,15 @@
 adaptive-h DYNAMIC fluid loop — multi-level neighbor rebuild every step,
 all ops at per-particle smoothing lengths."""
 
+import pytest
+
 import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_mr_taylor_green_decay():

@@ -23,6 +23,8 @@ import pytest
 
 from sphinxsys_tpu.cases import throat_2d as th
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 def test_throat_viscoelastic_decay_and_plateau():
     case, fluid = th.build_case()

@@ -8,6 +8,8 @@ import pytest
 
 from sphinxsys_tpu.physics import turbulence as tb
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 def test_wall_law_scalars():
     """Laminar law u* = y* below 11.225; log law u* = ln(E y*)/kappa above

@@ -2,10 +2,14 @@
 integrator survives a violent initial twist and reproduces the reference
 DB's axial tip oscillation envelope (x swings 3.21..9.64 from 5.94)."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
 from sphinxsys_tpu.cases import twisting_column_3d as tw
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def test_twisting_column_tip_oscillation_envelope():

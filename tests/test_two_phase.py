@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 @pytest.fixture(scope="module")
 def two_phase_run():

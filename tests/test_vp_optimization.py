@@ -24,6 +24,8 @@ import pytest
 
 from sphinxsys_tpu.cases import vp_heat_flux_2d as vp
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 @pytest.fixture(scope="module")
 def heat_flux_case():

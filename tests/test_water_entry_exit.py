@@ -17,6 +17,8 @@ import pytest
 
 from sphinxsys_tpu.cases import water_entry_exit_2d as we
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 @pytest.fixture(scope="module")
 def trajectory():

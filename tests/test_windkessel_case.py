@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 def test_inflow_waveform_matches_reference_series():
     """The 8-harmonic clamped waveform (cpp:104-123): periodic with the

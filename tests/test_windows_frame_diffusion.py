@@ -6,10 +6,14 @@ regression_test_tool/TemperatureObserver_Phi_ensemble_averaged_mean_variance.xml
 (5 observers at x = 0.028, 11 snapshots over t = 0..0.02).
 """
 
+import pytest
+
 import xml.etree.ElementTree as ET
 
 import jax.numpy as jnp
 import numpy as np
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 REF_DB = ("/root/reference/tests/2d_examples/test_2d_windows_frame_diffusion_D4/"
           "regression_test_tool/"
