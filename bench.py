@@ -70,8 +70,11 @@ def run_one(bench_case: str, dx: float, n_steps: int, engine: str,
           " compiling + warming up...", file=sys.stderr, flush=True)
     t_w = time.perf_counter()
     dt_adv_est = 0.25 * h / db.U_REF
-    sim = run_chunk(sim, jnp.asarray(5 * dt_adv_est, sim.time.dtype))
-    jax.block_until_ready(ready(sim))
+    # one advection step per dispatch: a multi-step warmup dispatch at
+    # 4.1M particles exceeds the remote-TPU tunnel's dispatch kill (~60s)
+    for w in range(1, 6):
+        sim = run_chunk(sim, jnp.asarray(w * dt_adv_est, sim.time.dtype))
+        jax.block_until_ready(ready(sim))
     print(f"[bench] warmup done in {time.perf_counter()-t_w:.0f}s",
           file=sys.stderr, flush=True)
 
@@ -125,15 +128,18 @@ def run_one(bench_case: str, dx: float, n_steps: int, engine: str,
         table = jax.jit(lambda p: build_cell_table(
             p, jnp.asarray(n_fluid), base.grid, cap=base.cell_cap))(pos)
 
+        # device arrays as ARGUMENTS, not closure constants: at 4.1M the
+        # serialized HLO overflows the remote-compile transport (HTTP 413)
         @jax.jit
-        def chunk_counts(pos_q, n_q):
-            nli = build_neighbor_list(pos_q, n_q, pos, jnp.asarray(n_fluid),
-                                      table, base.grid, cutoff,
+        def chunk_counts(pos_q, n_q, pos_a, table_a, wall_pos, wall_n,
+                         wall_table_a):
+            nli = build_neighbor_list(pos_q, n_q, pos_a,
+                                      jnp.asarray(n_fluid), table_a,
+                                      base.grid, cutoff,
                                       k_max=base.k_inner, include_self=False)
-            nlw = build_neighbor_list(pos_q, n_q, base.wall["Position"],
-                                      base.wall["NReal"], base.wall_table,
-                                      base.grid, cutoff, k_max=base.k_wall,
-                                      include_self=True)
+            nlw = build_neighbor_list(pos_q, n_q, wall_pos, wall_n,
+                                      wall_table_a, base.grid, cutoff,
+                                      k_max=base.k_wall, include_self=True)
             return jnp.sum(nli.count) + jnp.sum(nlw.count)
 
         # 3D: the candidate gather is (chunk, 27*cell_cap, 3) and XLA pads
@@ -147,7 +153,9 @@ def run_one(bench_case: str, dx: float, n_steps: int, engine: str,
         for start in range(0, n_pad, chunk):
             pos_q = pos_padded[start:start + chunk]
             n_q = jnp.asarray(max(0, min(chunk, n_fluid - start)), jnp.int32)
-            pairs += int(chunk_counts(pos_q, n_q))
+            pairs += int(chunk_counts(pos_q, n_q, pos, table,
+                                      base.wall["Position"],
+                                      base.wall["NReal"], base.wall_table))
     else:
         pairs = int(jnp.sum(sim.nl_inner.count)) + int(jnp.sum(sim.nl_wall.count))
     # 2 pair sweeps per acoustic step + 1 density-summation sweep per advection step
@@ -306,8 +314,8 @@ def main() -> None:
     ]
     if not os.environ.get("BENCH_SKIP_4M"):
         configs.append(("dambreak_3d", 0.00625,
-                        {"cap": 32, "c_max": 480_000, "window_chunks": 9,
-                         "wall_chunks": 9}))
+                        {"cap": 32, "c_max": 440_064, "window_chunks": 9,
+                         "wall_chunks": 27}))
 
     results, errors = [], []
     for case_name, dx, kw in configs:

@@ -238,10 +238,21 @@ def build_block_map(pos, valid, grid: CellGrid, cap: int, c_max: int,
     iota = jnp.arange(n, dtype=jnp.int32)
     carry_cols = () if carry is None else tuple(
         carry[:, k] for k in range(carry.shape[1]))
-    sorted_ops = jax.lax.sort((cid, iota) + carry_cols, num_keys=1,
-                              is_stable=True)
-    scid_full, order = sorted_ops[0], sorted_ops[1]
-    sorted_carry = sorted_ops[2:]
+    if len(carry_cols) > 10:
+        # split the carry over two sorts to halve the peak HBM of the
+        # 21-operand sorted copies (the 4.1M config's budget is tight)
+        half = len(carry_cols) // 2
+        ops_a = jax.lax.sort((cid, iota) + carry_cols[:half], num_keys=1,
+                             is_stable=True)
+        ops_b = jax.lax.sort((cid, iota) + carry_cols[half:], num_keys=1,
+                             is_stable=True)
+        scid_full, order = ops_a[0], ops_a[1]
+        sorted_carry = ops_a[2:] + ops_b[2:]
+    else:
+        sorted_ops = jax.lax.sort((cid, iota) + carry_cols, num_keys=1,
+                                  is_stable=True)
+        scid_full, order = sorted_ops[0], sorted_ops[1]
+        sorted_carry = sorted_ops[2:]
     order_n = order[:m]
     scid = scid_full[:m]
     prev = jnp.concatenate([jnp.full((1,), -1, scid.dtype), scid[:-1]])

@@ -23,6 +23,7 @@ from __future__ import annotations
 import itertools
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 from sphinxsys_tpu.neighbors.cell_list import CellGrid
@@ -631,40 +632,64 @@ def _chunked_sweep(sweep_fn, xi_t, packed_j, nbr_inner, c, wall_jt, wflags,
                    dim, window_chunks, wall_packed=None, nbr_wall=None,
                    wall_chunks: int = 1, **kw):
     """Window-chunked sweep for large-N HBM discipline: the (3^dim, CH,
-    CAP, C) inner j-tensor never materializes whole — each chunk is built,
-    consumed by a side="inner" kernel call, and freed.  Outputs sum
-    exactly (pair sums split by window).  At 4M particles in 3D the full
-    ac2 j-tensor is ~6 GB x2 HLO temps — the difference between fitting
-    HBM and not.
+    CAP, C) inner j-tensor never materializes whole — each chunk is
+    built, consumed, and freed.  Outputs sum exactly (pair sums split by
+    window).
 
-    `wall_packed` + `wall_chunks` > 1: the WALL tensor is chunked the
-    same way from the compact (Cw+1, CAPW, CH) packing (the full wall
-    tensor is ~10.8 GB at 4.1M — the r5 driver OOM)."""
+    The chunk loop is a lax.fori_loop with a DYNAMIC window slice:
+    sequenced chunk subgraphs, so XLA cannot schedule all chunks'
+    gather temps concurrently (statically unrolled chunks at 4.1M were
+    scheduled in parallel and peaked at 34 GB).  The kernels recompute
+    all pair data from positions, so any window subset runs through the
+    same compiled body.
+
+    `wall_packed` + `wall_chunks` >= 1 chunk the WALL windows the same
+    way from the compact (Cw+1, CAPW, CH) packing (the full wall tensor
+    is ~10.8 GB at 4.1M)."""
     nw = 3 ** dim
     chj = packed_j.shape[-1]
     dummy_j = jnp.zeros((1, chj, 1, c), jnp.float32)
-    if wall_packed is not None and wall_chunks > 0:
-        outs = None
-        wb = [(i * nw) // wall_chunks for i in range(wall_chunks + 1)]
-        for a, b in zip(wb, wb[1:]):
-            wj_g = _window_jt(wall_packed, nbr_wall, c, roll_y=False,
-                              dim=dim, windows=tuple(range(a, b)),
-                              cross=True)
-            o = sweep_fn(xi_t, dummy_j, wj_g, wflags, dim=dim, side="wall",
-                         **kw)
-            outs = o if outs is None else tuple(
-                x + y for x, y in zip(outs, o))
+
+    def fori_chunks(n_chunks, make_chunk_out):
+        """Run nw windows in n_chunks sequenced groups; sum outputs."""
+        k = nw // n_chunks
+        assert k * n_chunks == nw, (nw, n_chunks)
+        out0 = make_chunk_out(jnp.int32(0), k)
+
+        def body(ci, acc):
+            o = make_chunk_out(ci * k, k)
+            return tuple(a + b for a, b in zip(acc, o))
+
+        if n_chunks == 1:
+            return out0
+        return jax.lax.fori_loop(1, n_chunks,
+                                 lambda i, acc: body(jnp.int32(i), acc),
+                                 out0)
+
+    if wall_packed is not None:
+        def wall_chunk(w0, k):
+            wsub = jax.lax.dynamic_slice(
+                nbr_wall, (jnp.int32(0), w0), (c, k))
+            wj_g = _window_jt(wall_packed, wsub, c, roll_y=False, dim=dim,
+                              windows=tuple(range(k)), cross=True)
+            return sweep_fn(xi_t, dummy_j, wj_g, wflags, dim=dim,
+                            side="wall", **kw)
+
+        outs = fori_chunks(max(wall_chunks, 1), wall_chunk)
     else:
         outs = sweep_fn(xi_t, dummy_j, wall_jt, wflags, dim=dim,
                         side="wall", **kw)
-    bounds = [(i * nw) // window_chunks for i in range(window_chunks + 1)]
-    for a, b in zip(bounds, bounds[1:]):
-        xj_g = _window_jt(packed_j, nbr_inner, c, roll_y=False, dim=dim,
-                          windows=tuple(range(a, b)))
-        o = sweep_fn(xi_t, xj_g, wall_jt if wall_packed is None else dummy_j,
-                     wflags, dim=dim, side="inner", **kw)
-        outs = tuple(x + y for x, y in zip(outs, o))
-    return outs
+
+    def inner_chunk(w0, k):
+        nsub = jax.lax.dynamic_slice(nbr_inner, (jnp.int32(0), w0), (c, k))
+        xj_g = _window_jt(packed_j, nsub, c, roll_y=False, dim=dim,
+                          windows=tuple(range(k)), cross=True)
+        return sweep_fn(xi_t, xj_g,
+                        wall_jt if wall_packed is None else dummy_j,
+                        wflags, dim=dim, side="inner", **kw)
+
+    inner_outs = fori_chunks(max(window_chunks, 1), inner_chunk)
+    return tuple(a + b for a, b in zip(outs, inner_outs))
 
 
 def _box_xy(box):
