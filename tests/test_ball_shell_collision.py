@@ -8,6 +8,8 @@ import pytest
 
 from sphinxsys_tpu.physics import contact as ct
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 def test_shell_contact_factor_monotone_in_penetration():
     """A solid particle approaching a flat shell sheet: the factor must be

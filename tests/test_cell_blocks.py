@@ -11,6 +11,8 @@ from sphinxsys_tpu.neighbors.cell_blocks import (
     build_block_map, cross_neighbor_blocks, to_blocks, from_blocks,
 )
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 
 def random_cloud(n, dim, seed, lo=0.0, hi=1.0):
     rng = np.random.default_rng(seed)

@@ -1,5 +1,7 @@
 """Diffusion / reaction / electrophysiology tests."""
 
+import pytest
+
 import math
 
 import jax
@@ -12,6 +14,8 @@ from sphinxsys_tpu.core.generators import generate_lattice
 from sphinxsys_tpu.core.state import make_base_state
 from sphinxsys_tpu.neighbors import grid_from_bounds, build_cell_table, build_neighbor_list
 from sphinxsys_tpu.physics import diffusion as df
+
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
 
 
 def periodic_block(dx=0.025, L=1.0):

@@ -15,6 +15,8 @@ import pytest
 
 from sphinxsys_tpu.cases import droplet_impact_2d as di
 
+pytestmark = pytest.mark.slow  # integration tier (full suite: pytest -m '')
+
 # reference WaterBody_TotalKineticEnergy snapshots at t = k*0.004
 # (identical across the DB's three committed runs to ~0.06)
 REF_KE = {0: 9.875, 1: 9.6867, 2: 9.6448, 3: 9.6982, 4: 9.3565, 5: 8.7790}
